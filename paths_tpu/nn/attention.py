@@ -1,0 +1,78 @@
+"""Multi-head attention with key-padding masks.
+
+Math matches `torch.nn.MultiheadAttention` (packed qkv projection + output
+projection, scaled dot-product softmax, attention-weight dropout) so the
+aggregator can be parity-tested against `nn.Transformer`
+(reference `model/aggregator.py:25-33`).
+
+Weights are stored unpacked per head-group: q/k/v each (dim, dim) plus the
+out projection. Torch's `in_proj_weight` (3*dim, dim) maps to our q/k/v by
+row-splitting then transposing.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from paths_tpu.nn.core import Static, dropout, linear_init
+from paths_tpu.ops.masking import NEG_INF
+
+
+def mha_init(key, dim: int, num_heads: int, dtype=jnp.float32) -> dict:
+    """Xavier-uniform q/k/v/out weights, zero biases — matching
+    `nn.Transformer._reset_parameters` + MHA bias defaults."""
+    assert dim % num_heads == 0
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    mk = lambda k: linear_init(k, dim, dim, init="xavier", dtype=dtype)
+    return {"q": mk(kq), "k": mk(kk), "v": mk(kv), "out": mk(ko),
+            "num_heads": Static(num_heads)}
+
+
+def _split_heads(x: jnp.ndarray, h: int) -> jnp.ndarray:
+    b, n, d = x.shape
+    return x.reshape(b, n, h, d // h).transpose(0, 2, 1, 3)  # B,H,N,hd
+
+
+def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
+              value: jnp.ndarray, *, key_valid: Optional[jnp.ndarray] = None,
+              dropout_rate: float = 0.0, rng: Optional[jax.Array] = None,
+              deterministic: bool = True, compute_dtype=None) -> jnp.ndarray:
+    """Scaled dot-product MHA.
+
+    :param query: (B, Nq, D)
+    :param key_/value: (B, Nk, D)
+    :param key_valid: optional (B, Nk) bool — True marks attendable keys
+        (inverse of torch's key_padding_mask)
+    :return: (B, Nq, D)
+
+    If Nk == 0 the result is all-zero, matching torch's behavior for
+    zero-length memory (the reference aggregator feeds an empty encoder
+    sequence, `model/paths.py:110-112`).
+    """
+    h = params["num_heads"].value
+    b, nq, d = query.shape
+    nk = key_.shape[1]
+    if nk == 0:
+        return jnp.zeros((b, nq, d), query.dtype)
+
+    cd = compute_dtype or query.dtype
+    proj = lambda p, x: (x.astype(cd) @ p["w"].astype(cd) + p["b"].astype(cd))
+
+    q = _split_heads(proj(params["q"], query), h)   # B,H,Nq,hd
+    k = _split_heads(proj(params["k"], key_), h)    # B,H,Nk,hd
+    v = _split_heads(proj(params["v"], value), h)
+
+    scale = 1.0 / math.sqrt(d // h)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if key_valid is not None:
+        logits = jnp.where(key_valid[:, None, None, :], logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = dropout(weights, dropout_rate, rng=rng, deterministic=deterministic)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(cd), v,
+                     preferred_element_type=jnp.float32).astype(cd)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, nq, d)
+    return proj(params["out"], ctx).astype(query.dtype)
