@@ -1,0 +1,191 @@
+"""Benchmark: end-to-end hierarchical training throughput (slides/sec).
+
+Workload: the flagship brca_paths_0 configuration (UNI 1024-d features,
+trans_dim 128, 4 heads, 2+2 layers, 5 levels at 0.625x..10x, top-K 20,
+batch 32 — `models/brca_paths_0/config.json`) on synthetic slide pyramids
+shaped like TCGA-BRCA (level-0 grids ~8x10, level-4 ~128x160, ~55%
+tissue). One step = full 5-level forward, top-K recursion, backward, and
+AdamW update, jitted as a single program on one TPU chip.
+
+Baseline: the same math executed the reference's way — PyTorch model with
+the per-slide host recursion loop (`utils.py:228-279`) — measured on this
+host's CPU each run (the reference's CUDA path cannot run here; its A100
+number is the ~10x north star in BASELINE.md). `vs_baseline` is
+ours / torch-reference-on-host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paths_tpu.config import Config, PATHSProcessorConfig
+from paths_tpu.data.dataset import collate_batch, load_splits
+from paths_tpu.data.synthetic import make_synthetic_metadata, make_synthetic_store
+from paths_tpu.engine.hierarchy import end2end_loss
+from paths_tpu.models.recursive import recursive_init
+from paths_tpu.runtime import setup_compilation_cache
+from paths_tpu.train.loop import make_optimizer, make_step_fns
+
+B = 32
+WARMUP = 3
+ITERS = 20
+
+
+def flagship_config(tmp: str) -> Config:
+    return Config(
+        model_config=PATHSProcessorConfig(
+            patch_embed_dim=1024, trans_dim=128, trans_heads=4,
+            trans_layers=2, pos_encoding_mode="2d", dropout=0.05, lstm=True),
+        num_levels=5, top_k_patches=20, nbins=4, task="survival",
+        batch_size=B, lr=2e-5,
+        csv_path=os.path.join(tmp, "meta.csv.zip"),
+        preprocess_dir=os.path.join(tmp, "store"),
+        wsi_dir=os.path.join(tmp, "brca"))
+
+
+def build_batch(cfg: Config, seed: int = 0):
+    if not os.path.isdir(cfg.preprocess_dir):
+        ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=B,
+                                   base_hw=(8, 10), seed=seed,
+                                   tissue_fraction=0.55)
+        make_synthetic_metadata(cfg.csv_path, ids, seed=seed)
+    ds = load_splits([1.0, 0.0, 0.0], seed=0, config=cfg)[0]
+    return ds, collate_batch(ds, list(range(min(B, len(ds)))),
+                             level0_bucket=cfg.level0_bucket)
+
+
+def bench_tpu(cfg: Config, batch) -> float:
+    """Steady-state seconds per training step."""
+    bag0, tables, labels = batch
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    update, _ = make_step_fns(cfg, tx)
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        params, opt_state, loss, _ = update(params, opt_state, bag0, tables,
+                                            labels, rng)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        params, opt_state, loss, _ = update(params, opt_state, bag0, tables,
+                                            labels, rng)
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def bench_reference_torch(cfg: Config, seed: int = 0) -> float:
+    """Reference-style torch training step (per-slide host recursion) on
+    this host, seconds per step, normalized to batch size B."""
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from helpers_refloop import collate, level0_bag, ref_iter
+    from helpers_torch import TorchRecursive
+
+    mc = cfg.model_config
+    kw = dict(d=mc.patch_embed_dim, trans_dim=mc.trans_dim,
+              heads=mc.trans_heads, layers=mc.trans_layers,
+              imp_hidden=mc.importance_mlp_hidden_dim,
+              hdim=mc.hierarchical_ctx_mlp_hidden_dim, num_logits=cfg.nbins,
+              slide_ctx_mode=mc.slide_ctx_mode, pos_mode=mc.pos_encoding_mode,
+              importance_mode=mc.importance_mode, patch_size=mc.patch_size)
+    torch.manual_seed(0)
+    model = TorchRecursive(cfg.num_levels, lstm=mc.lstm, **kw)
+    opt = torch.optim.AdamW(model.parameters(), lr=cfg.lr,
+                            weight_decay=cfg.weight_decay)
+    ds, dp = mc.ctx_dim()
+
+    # smaller torch batch, normalized: the reference loop is per-slide so
+    # time scales ~linearly in batch size
+    bt = 4
+    rng = np.random.default_rng(seed)
+    slide_grids = []
+    for _ in range(bt):
+        grids = []
+        for lvl in range(cfg.num_levels):
+            h, w = 8 * 2**lvl, 10 * 2**lvl
+            g = rng.normal(size=(h, w, mc.patch_embed_dim)).astype(np.float32)
+            g[rng.uniform(size=(h, w)) > 0.55] = 0
+            grids.append(g)
+        slide_grids.append(grids)
+
+    def step():
+        items = []
+        for grids in slide_grids:
+            fts, locs = level0_bag(grids[0], mc.patch_size)
+            items.append({"fts": fts, "locs": locs,
+                          "parent_inds": torch.arange(fts.shape[0]),
+                          "ctx_patch": torch.zeros((fts.shape[0], 0, dp)),
+                          "ctx_slide": torch.zeros((0, ds))})
+        batch = collate(items)
+        out = None
+        for i in range(cfg.num_levels):
+            out = model(i, batch["fts"], batch["locs"], batch["num_ims"],
+                        batch["ctx_slide"], batch["ctx_patch"])
+            if i != cfg.num_levels - 1:
+                new_items = [ref_iter(
+                    slide_grids[j][i + 1], int(batch["num_ims"][j]),
+                    batch["locs"][j], batch["ctx_slide"][j],
+                    batch["ctx_patch"][j], out["importance"][j],
+                    out["ctx_slide"][j], out["ctx_patch"][j],
+                    cfg.top_k_patches[i], mc.patch_size) for j in range(bt)]
+                batch = collate(new_items)
+        hazards = torch.sigmoid(out["logits"])
+        loss = -torch.log(hazards.clamp(min=1e-7)).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        step()
+    per_step = (time.perf_counter() - t0) / n
+    return per_step * (B / bt)
+
+
+def main():
+    setup_compilation_cache()
+    tmp = os.environ.get("PATHS_TPU_BENCH_DIR", "/tmp/paths_tpu_bench")
+    os.makedirs(tmp, exist_ok=True)
+    cfg = flagship_config(tmp)
+
+    ds, batch = build_batch(cfg)
+    t_tpu = bench_tpu(cfg, batch)
+    tpu_sps = B / t_tpu
+
+    try:
+        t_ref = bench_reference_torch(cfg)
+        ref_sps = B / t_ref
+        vs = tpu_sps / ref_sps
+    except Exception as e:  # torch baseline is best-effort
+        print(f"reference baseline failed: {e}", file=sys.stderr)
+        ref_sps, vs = None, None
+
+    print(json.dumps({
+        "metric": "hierarchical train-step throughput (brca_paths_0, B=32, synthetic BRCA-shaped pyramids)",
+        "value": round(tpu_sps, 2),
+        "unit": "slides/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "tpu_step_ms": round(t_tpu * 1e3, 2),
+        "baseline_slides_per_sec_torch_host": round(ref_sps, 2) if ref_sps else None,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

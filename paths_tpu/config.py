@@ -96,6 +96,9 @@ class Config:
 
     hipt_splits: bool = False
     hipt_val_proportion: float = 0.0
+    # directory holding the HIPT split CSVs (default: ./data/splits, the
+    # reference's relative layout; populate via tools/import_reference_splits.py)
+    splits_dir: Optional[str] = None
 
     # --- TPU-native additions (absent from reference) ---
     # dtype used for matmuls/attention ("float32" or "bfloat16"); params are fp32

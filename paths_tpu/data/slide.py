@@ -1,0 +1,85 @@
+"""SlidePyramid: one slide's multi-level preprocessed features, ready for
+the hierarchy engine.
+
+Train-time counterpart of the reference's `PreprocessedSlide`
+(`data_utils/slide.py:227-391`), reshaped for TPU: instead of keeping
+dense grids and gathering children per slide on the host, each level > 0
+is pre-compacted into a `LevelTable` dict (non-background rows + index
+grid — see `paths_tpu.engine.tables`), and level 0 is the full cell bag
+(background included, matching `slide.py:258-269`).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from paths_tpu.data.feature_store import FeatureStore
+from paths_tpu.engine.tables import build_level_table, level0_bag_arrays
+
+
+def slide_id_of(path: str) -> str:
+    """Filename minus extension (reference `slide.py:241`)."""
+    return ".".join(os.path.split(path)[-1].split(".")[:-1])
+
+
+class SlidePyramid:
+    def __init__(self, slide_id: str, store: FeatureStore, base_power: float,
+                 num_levels: int, patch_size: int,
+                 level_min_rows: Optional[List[int]] = None,
+                 magnification_factor: int = 2, preload: bool = True,
+                 subtype: Optional[int] = None):
+        """:param level_min_rows: minimum table rows per level (from
+        `engine.tables.bag_widths`); rows up to this bound include
+        background cells so the all-background fallback can address them.
+        :param preload: build tables eagerly (reference preloads all
+        features to RAM, `data_utils/dataset.py:172-180`); False = lazy,
+        tables built from memory-mapped grids on first access."""
+        self.slide_id = slide_id
+        self.store = store
+        self.base_power = base_power
+        self.num_levels = num_levels
+        self.patch_size = patch_size
+        self.magnification_factor = magnification_factor
+        self.level_min_rows = level_min_rows or [0] * num_levels
+        self.subtype = subtype
+        self._level0 = None
+        self._tables: Optional[List[dict]] = None
+        if preload:
+            self.materialize()
+
+    def powers(self) -> List[float]:
+        return [self.base_power * self.magnification_factor**i
+                for i in range(self.num_levels)]
+
+    def materialize(self) -> None:
+        if self._tables is not None:
+            return
+        powers = self.powers()
+        grid0 = np.asarray(self.store.load(self.slide_id, powers[0]),
+                           np.float32)
+        self._level0 = level0_bag_arrays(grid0, self.patch_size)
+        tables = []
+        for lvl in range(1, self.num_levels):
+            grid = np.asarray(self.store.load(self.slide_id, powers[lvl]),
+                              np.float32)
+            tables.append(build_level_table(
+                grid, min_rows=self.level_min_rows[lvl]))
+        self._tables = tables
+
+    @property
+    def level0(self):
+        """(fts (N0, D), locs_pixels (N0, 2), n0)"""
+        self.materialize()
+        return self._level0
+
+    @property
+    def tables(self) -> List[dict]:
+        """Level tables for levels 1..num_levels-1."""
+        self.materialize()
+        return self._tables
+
+    def unload(self) -> None:
+        self._level0 = None
+        self._tables = None

@@ -1,0 +1,133 @@
+"""Compact per-level feature tables.
+
+The reference stores each level as a dense H x W x D grid with all-zero
+rows marking background (`preprocess/preprocess.py:172-175`) and gathers
+children from it on the host per slide (`data_utils/slide.py:305-331`).
+
+On TPU the grid is mostly dead weight: tissue typically covers a fraction
+of the slide. A `LevelTable` stores only the non-background feature rows
+plus an int32 index grid mapping (y, x) -> row (-1 = background), so the
+device-side child gather is two cheap lookups and HBM holds ~tissue-sized
+data rather than slide-sized.
+
+Row order is grid row-major over non-background cells, then row-major over
+background cells — exactly the enumeration order the reference uses for
+its all-background fallback bags (`data_utils/slide.py:334-352`), so the
+fallback path can address rows directly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LevelTable:
+    """Batched compact features for one magnification level.
+
+    fts     (B, M, D)   non-bg features first, zero rows after `count`
+    locs    (B, M, 2)   grid coords (y, x) of each row
+    count   (B,)        number of non-background rows per slide
+    index   (B, H, W)   grid -> row, -1 where background or out of grid
+    grid_hw (B, 2)      true (unpadded) grid dims per slide
+    """
+
+    fts: jnp.ndarray
+    locs: jnp.ndarray
+    count: jnp.ndarray
+    index: jnp.ndarray
+    grid_hw: jnp.ndarray
+
+
+def build_level_table(grid: np.ndarray, min_rows: int = 0):
+    """Host-side: dense (H, W, D) grid -> single-slide table dict (numpy).
+
+    Background = all-zero feature vector, tested as sum == 0 to match the
+    reference's filter (`data_utils/slide.py:325`).
+    """
+    h, w, d = grid.shape
+    flat = grid.reshape(-1, d)
+    bg = flat.sum(axis=1) == 0
+    nz = np.flatnonzero(~bg)           # row-major order
+    z = np.flatnonzero(bg)
+    count = len(nz)
+
+    m = max(count + min(len(z), max(min_rows - count, 0)), min_rows)
+    m = max(m, count)
+    order = np.concatenate([nz, z])[:m]
+
+    fts = np.zeros((m, d), grid.dtype)
+    locs = np.zeros((m, 2), np.int32)
+    take = order
+    fts[: len(take)] = flat[take]
+    locs[: len(take), 0] = take // w
+    locs[: len(take), 1] = take % w
+
+    index = np.full((h, w), -1, np.int32)
+    index.reshape(-1)[nz] = np.arange(count, dtype=np.int32)
+
+    return {"fts": fts, "locs": locs, "count": np.int32(count),
+            "index": index, "grid_hw": np.array([h, w], np.int32)}
+
+
+def stack_tables(tables: Sequence[dict], min_rows: int = 0,
+                 pad_rows_to: int | None = None,
+                 pad_grid_to: tuple | None = None) -> LevelTable:
+    """Pad single-slide tables to common shapes and stack into a LevelTable."""
+    b = len(tables)
+    m = max(max(t["fts"].shape[0] for t in tables), min_rows)
+    if pad_rows_to is not None:
+        m = max(m, pad_rows_to)
+    h = max(t["index"].shape[0] for t in tables)
+    w = max(t["index"].shape[1] for t in tables)
+    if pad_grid_to is not None:
+        h, w = max(h, pad_grid_to[0]), max(w, pad_grid_to[1])
+    d = tables[0]["fts"].shape[1]
+
+    fts = np.zeros((b, m, d), tables[0]["fts"].dtype)
+    locs = np.zeros((b, m, 2), np.int32)
+    count = np.zeros((b,), np.int32)
+    index = np.full((b, h, w), -1, np.int32)
+    grid_hw = np.zeros((b, 2), np.int32)
+    for i, t in enumerate(tables):
+        mi = t["fts"].shape[0]
+        hi, wi = t["index"].shape
+        fts[i, :mi] = t["fts"]
+        locs[i, :mi] = t["locs"]
+        count[i] = t["count"]
+        index[i, :hi, :wi] = t["index"]
+        grid_hw[i] = t["grid_hw"]
+
+    return LevelTable(fts=jnp.asarray(fts), locs=jnp.asarray(locs),
+                      count=jnp.asarray(count), index=jnp.asarray(index),
+                      grid_hw=jnp.asarray(grid_hw))
+
+
+def bag_widths(top_k_patches, num_levels: int, n0: int):
+    """Static patch-slot counts per level: level 0 has `n0` slots; level
+    i+1 has 4*K_i (or 4*width_i when K_i = -1, the keep-all mode)."""
+    widths = [n0]
+    for i in range(num_levels - 1):
+        k = top_k_patches[i]
+        prev = widths[-1]
+        widths.append(4 * (prev if k == -1 else min(k, prev)))
+    return widths
+
+
+def level0_bag_arrays(grid: np.ndarray, patch_size: int):
+    """Host-side: level-0 bag arrays for ONE slide from its dense grid.
+
+    The reference's level-0 bag is ALL grid cells — background included,
+    with zero features (`data_utils/slide.py:258-269`; the in-code comment
+    claims filtering but none happens). Returns (fts, locs_pixels, n).
+    """
+    h, w, d = grid.shape
+    fts = grid.reshape(-1, d)
+    ys, xs = np.divmod(np.arange(h * w, dtype=np.int32), w)
+    locs = np.stack([ys, xs], axis=1) * patch_size
+    return fts, locs, h * w

@@ -14,14 +14,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _weighted_mean(x: jnp.ndarray, weights) -> jnp.ndarray:
+    if weights is None:
+        return jnp.mean(x)
+    w = jnp.asarray(weights, x.dtype)
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
 def nll_survival_loss(hazards: jnp.ndarray, y: jnp.ndarray, c: jnp.ndarray,
-                      alpha: float = 0.4, eps: float = 1e-7) -> jnp.ndarray:
+                      alpha: float = 0.4, eps: float = 1e-7,
+                      weights=None) -> jnp.ndarray:
     """Discrete survival NLL.
 
     :param hazards: (B, nbins) hazard probabilities in [0, 1] (post-sigmoid)
     :param y: (B,) int ground-truth survival bin
     :param c: (B,) censorship status (1 = censored)
     :param alpha: 1 ignores censored data, 0 weights it equally
+    :param weights: optional (B,) sample weights (used to null out padded
+        duplicates when a batch is padded to the mesh size); None = mean
     :return: scalar mean loss
     """
     hazards = jnp.asarray(hazards)
@@ -42,7 +52,7 @@ def nll_survival_loss(hazards: jnp.ndarray, y: jnp.ndarray, c: jnp.ndarray,
     censored = -c * jnp.log(s_this)
     neg_l = censored + uncensored
     loss = (1.0 - alpha) * neg_l + alpha * uncensored
-    return jnp.mean(loss)
+    return _weighted_mean(loss, weights)
 
 
 def survival_risk(hazards: jnp.ndarray) -> jnp.ndarray:
@@ -51,10 +61,11 @@ def survival_risk(hazards: jnp.ndarray) -> jnp.ndarray:
     return -jnp.sum(survival, axis=1)
 
 
-def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       weights=None) -> jnp.ndarray:
     """Mean softmax cross-entropy over int labels (torch `F.cross_entropy`)."""
     logits = jnp.asarray(logits)
     labels = jnp.asarray(labels, jnp.int32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     ll = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(logz - ll)
+    return _weighted_mean(logz - ll, weights)

@@ -1,0 +1,54 @@
+"""Device mesh + sharding helpers.
+
+The distributed backbone (SURVEY.md §2 "TPU-native equivalents"): slides
+are sharded data-parallel along a `data` mesh axis; parameters are
+replicated; XLA inserts the gradient all-reduce over ICI when the jitted
+train step consumes sharded batches with replicated params — no explicit
+collectives or communication backend (the reference has none to port; its
+NCCL-equivalent is the XLA compiler).
+
+A `model` axis is reserved for sharding the patch axis of the embedding
+pass in the preprocessor (`paths_tpu.preprocess`), where the FLOPs are.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_data or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), ("data",))
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (parameters / optimizer state)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Shard every array leaf along its leading (batch) axis."""
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def pad_batch_indices(indices: Sequence[int], multiple: int):
+    """Pad an index list to a multiple of the mesh size by repeating the
+    last element; returns (padded_indices, weights) where weights zero out
+    the padded duplicates in the loss and evaluators."""
+    idx = list(indices)
+    n = len(idx)
+    pad = (-n) % multiple
+    idx = idx + [idx[-1]] * pad
+    w = np.ones(len(idx), np.float32)
+    if pad:
+        w[n:] = 0.0
+    return idx, w

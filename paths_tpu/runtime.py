@@ -1,0 +1,28 @@
+"""Runtime setup helpers shared by CLI entry points and benchmarks."""
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+
+
+def setup_compilation_cache(path: str | None = None) -> None:
+    """Enable the persistent XLA compilation cache. The 5-level unrolled
+    train step is a large program; first compile through this
+    environment's remote-compile tunnel runs minutes, cached reloads run
+    in seconds."""
+    path = path or os.environ.get("PATHS_TPU_CACHE", _DEFAULT_CACHE)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def set_matmul_precision(compute_dtype: str) -> None:
+    """f32 configs get exact (HIGHEST) matmuls for reference-faithful
+    numerics; bf16 configs keep the fast default MXU path."""
+    if compute_dtype == "float32":
+        jax.config.update("jax_default_matmul_precision", "highest")

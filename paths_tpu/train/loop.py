@@ -1,0 +1,186 @@
+"""The training loop.
+
+Mirrors the reference (`train.py:31-116`): AdamW + per-epoch exponential
+LR decay, per-batch end-to-end hierarchical forward/backward, periodic
+validation with optional best-val early stopping, checkpoint resume from
+`train_stats["epoch"]`, final test evaluation.
+
+TPU-shaped: the update is ONE jitted program (forward through all levels,
+backward, optimizer) consuming a batch sharded along the `data` mesh axis
+with replicated params — XLA inserts the gradient all-reduce. Batches are
+padded to the mesh size with zero-weighted duplicates so every shard sees
+identical static shapes.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from paths_tpu.config import Config
+from paths_tpu.data.dataset import SlideDataset, collate_batch
+from paths_tpu.engine.hierarchy import end2end_loss
+from paths_tpu.models.recursive import recursive_init
+from paths_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_indices,
+    replicate,
+    shard_batch,
+)
+from paths_tpu.train.evaluators import make_evaluator
+from paths_tpu.train.logging import MetricsLogger
+from paths_tpu.train.state import load_state, save_state
+
+
+def make_optimizer(config: Config):
+    """AdamW with injected (per-epoch mutable) learning rate — torch
+    AdamW + ExponentialLR semantics (`train.py:49-50`, `config.py:130-131`)."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=config.lr, weight_decay=config.weight_decay)
+
+
+def set_lr(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+    return opt_state
+
+
+def make_step_fns(config: Config, tx):
+    """(update_fn, eval_fn), both jittable."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def update(params, opt_state, bag0, tables, labels, rng):
+        def lf(p):
+            return end2end_loss(p, config, bag0, tables, labels, rng=rng,
+                                deterministic=False)
+
+        (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    @jax.jit
+    def evaluate(params, bag0, tables, labels):
+        return end2end_loss(params, config, bag0, tables, labels,
+                            deterministic=True)
+
+    return update, evaluate
+
+
+def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
+                   seed: int, mesh_size: int, config: Config):
+    """Yield (bag0, tables, labels, weights) with mesh-size padding."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for s in range(0, len(order), batch_size):
+        idx = order[s: s + batch_size].tolist()
+        idx, w = pad_batch_indices(idx, mesh_size)
+        bag0, tables, labels = collate_batch(
+            dataset, idx, level0_bucket=config.level0_bucket)
+        labels = dict(labels)
+        labels["weight"] = jax.numpy.asarray(w)
+        yield bag0, tables, labels, w
+
+
+def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
+               val_ds: Optional[SlideDataset], test_ds: SlideDataset,
+               logger: Optional[MetricsLogger] = None,
+               mesh=None, verbose: bool = True) -> dict:
+    log = logger or MetricsLogger(model_dir, config.to_dict(), use_wandb="no")
+    mesh = mesh or make_mesh(config.mesh_shape[0] if config.mesh_shape else None)
+    mesh_size = mesh.devices.size
+
+    params = recursive_init(jax.random.PRNGKey(config.seed), config)
+    tx = make_optimizer(config)
+    opt_state = tx.init(params)
+
+    params, opt_state, train_stats = load_state(model_dir, params, opt_state,
+                                                config=config)
+    start_epoch = train_stats["epoch"]
+    metric = "c-index" if config.task == "survival" else "AUC"
+    for key in ["train_loss", f"train_{metric}", "val_loss", f"val_{metric}"]:
+        train_stats.setdefault(key, {})
+
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+    update, evaluate = make_step_fns(config, tx)
+
+    batch_size = config.batch_size[0]
+    rng = jax.random.PRNGKey(config.seed + 1)
+    best_val_score = -1.0
+
+    def run_eval(dataset, evaluator):
+        for bag0, tables, labels, w in _epoch_batches(
+                dataset, batch_size, shuffle=False, seed=0,
+                mesh_size=mesh_size, config=config):
+            bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
+            loss, aux = evaluate(params, bag0, tables, labels)
+            n_real = int(w.sum())
+            host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}
+            evaluator.register(host_labels, np.asarray(aux["pred"])[:n_real],
+                               float(loss))
+
+    if verbose:
+        print(f"Training starts at epoch {start_epoch} "
+              f"(mesh: {mesh_size} device(s))")
+
+    train_eval = make_evaluator(config, "train")
+    val_eval = make_evaluator(config, "val")
+
+    for e in range(start_epoch, config.num_epochs + 1):
+        t0 = time.time()
+        opt_state = set_lr(opt_state,
+                           config.lr * config.lr_decay_per_epoch**(e - 1))
+
+        for bag0, tables, labels, w in _epoch_batches(
+                train_ds, batch_size, shuffle=True,
+                seed=config.seed * 100_003 + e, mesh_size=mesh_size,
+                config=config):
+            rng, step_rng = jax.random.split(rng)
+            bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
+            params, opt_state, loss, aux = update(
+                params, opt_state, bag0, tables, labels, step_rng)
+            n_real = int(w.sum())
+            host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}
+            train_eval.register(host_labels, np.asarray(aux["pred"])[:n_real],
+                                float(loss))
+
+        log.log(train_eval.calculate(train_stats, e) | {"epoch": e})
+        train_eval.reset()
+        if verbose:
+            print(f"Epoch {e}/{config.num_epochs} "
+                  f"({time.time() - t0:.1f}s) "
+                  f"train_loss={train_stats['train_loss'].get(e, float('nan')):.4f}")
+
+        if e % config.eval_epochs == 0 and val_ds is not None and len(val_ds):
+            run_eval(val_ds, val_eval)
+            log_dict = val_eval.calculate(train_stats, e) | {"epoch": e}
+            log.log(log_dict)
+            val_eval.reset()
+            val_score = log_dict[f"val_{metric}"]
+            if (config.early_stopping and val_score > best_val_score
+                    and e >= config.min_epochs):
+                best_val_score = val_score
+                train_stats["epoch"] = e + 1
+                save_state(model_dir, params, opt_state, train_stats)
+
+    if config.early_stopping:
+        params, opt_state, s = load_state(model_dir, params, opt_state,
+                                          config=config)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        if verbose:
+            print(f"Early stopping: loading from epoch {s['epoch']}")
+
+    train_stats["epoch"] = config.num_epochs
+    save_state(model_dir, params, opt_state, train_stats)
+
+    test_eval = make_evaluator(config, "test")
+    run_eval(test_ds, test_eval)
+    log.log(test_eval.calculate(train_stats) | {"epoch": config.num_epochs})
+    log.finish()
+    return train_stats

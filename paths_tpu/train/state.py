@@ -1,0 +1,96 @@
+"""Checkpointing: params + optimizer state + training history.
+
+Reference contract (`utils.py:169-198`): `save_state` writes the model and
+a `train_stats` dict (epoch + per-epoch metric histories) into the model
+directory; `load_state` restores both, returning `{"epoch": 1}` on a fresh
+directory; the train loop resumes from `train_stats["epoch"]`.
+
+Format here: `model.npz` / `opt.npz` (flat key-path -> array; robust,
+dependency-free, works for any params pytree) + `train_stats.json`.
+A torch `model.pt` present in the directory (a reference checkpoint) is
+loaded transparently via `paths_tpu.convert`.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paths_tpu.config import Config
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten(template, flat: Dict[str, np.ndarray]):
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in leaves_with_path:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        assert key in flat, f"checkpoint missing key {key}"
+        arr = flat[key]
+        assert arr.shape == np.shape(leaf), (
+            f"shape mismatch for {key}: checkpoint {arr.shape} vs model "
+            f"{np.shape(leaf)}")
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_state(root_path: str, params, opt_state=None,
+               train_stats: Optional[dict] = None) -> None:
+    print(f"Saving to {root_path}...")
+    os.makedirs(root_path, exist_ok=True)
+    np.savez(os.path.join(root_path, "model.npz"), **_flatten(params))
+    if opt_state is not None:
+        np.savez(os.path.join(root_path, "opt.npz"), **_flatten(opt_state))
+    if train_stats is not None:
+        with open(os.path.join(root_path, "train_stats.json"), "w") as f:
+            json.dump(train_stats, f)
+
+
+def load_state(root_path: str, params, opt_state=None,
+               config: Optional[Config] = None) -> Tuple:
+    """Restore (params, opt_state, train_stats). Missing files leave the
+    passed-in values untouched (reference `utils.py:181-198`)."""
+    npz_path = os.path.join(root_path, "model.npz")
+    pt_path = os.path.join(root_path, "model.pt")
+
+    if os.path.isfile(npz_path):
+        with np.load(npz_path) as z:
+            params = _unflatten(params, dict(z.items()))
+    elif os.path.isfile(pt_path):
+        assert config is not None, "loading a torch checkpoint needs a config"
+        from paths_tpu.convert import load_torch_checkpoint
+
+        print(f"Loading reference torch checkpoint {pt_path}")
+        params = load_torch_checkpoint(pt_path, config)
+    else:
+        print(f"{npz_path} not found, not loading model state!")
+
+    opt_path = os.path.join(root_path, "opt.npz")
+    if opt_state is not None and os.path.isfile(opt_path):
+        with np.load(opt_path) as z:
+            opt_state = _unflatten(opt_state, dict(z.items()))
+
+    stats_path = os.path.join(root_path, "train_stats.json")
+    if not os.path.isfile(stats_path):
+        print("No train stats found, assuming first run")
+        return params, opt_state, {"epoch": 1}
+    with open(stats_path) as f:
+        train_stats = json.load(f)
+    # json stringifies int epoch keys in metric histories
+    for k, v in train_stats.items():
+        if isinstance(v, dict):
+            train_stats[k] = {int(e): x for e, x in v.items()}
+    return params, opt_state, train_stats

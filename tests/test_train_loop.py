@@ -1,0 +1,146 @@
+"""Training loop: loss decreases, checkpoints resume, DP over the 8-device
+virtual mesh with batch padding, CLI entry point."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from paths_tpu.config import Config, PATHSProcessorConfig
+from paths_tpu.data.dataset import load_splits
+from paths_tpu.data.synthetic import make_synthetic_metadata, make_synthetic_store
+from paths_tpu.parallel.mesh import make_mesh
+from paths_tpu.train.loop import train_loop
+from paths_tpu.train.state import load_state, save_state
+
+
+def tiny_train_config(tmp, **kw) -> Config:
+    mc = PATHSProcessorConfig(patch_embed_dim=16, trans_dim=8, trans_heads=2,
+                              trans_layers=1, importance_mlp_hidden_dim=8,
+                              hierarchical_ctx_mlp_hidden_dim=8,
+                              pos_encoding_mode="2d", dropout=0.0)
+    defaults = dict(num_levels=3, top_k_patches=2, nbins=2, task="survival",
+                    num_epochs=2, lr=1e-3, batch_size=4, level0_bucket=8,
+                    csv_path=os.path.join(tmp, "meta.csv.zip"),
+                    preprocess_dir=os.path.join(tmp, "store"),
+                    wsi_dir=os.path.join(tmp, "brca"))
+    defaults.update(kw)
+    return Config(model_config=mc, **defaults)
+
+
+@pytest.fixture
+def ds(tmp_path):
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=12,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    train, val, test = load_splits([0.6, 0.2, 0.2], seed=0, config=cfg)
+    return tmp, cfg, train, val, test
+
+
+def test_train_loop_runs_and_learns(ds):
+    tmp, cfg, train, val, test = ds
+    cfg.num_epochs = 6
+    cfg.lr = 3e-3
+    mdir = os.path.join(tmp, "model")
+    mesh = make_mesh(1)
+    stats = train_loop(cfg, mdir, train, val, test, mesh=mesh, verbose=False)
+
+    losses = stats["train_loss"]
+    assert set(losses) == {1, 2, 3, 4, 5, 6}
+    assert losses[6] < losses[1], f"no learning: {losses}"
+    assert os.path.isfile(os.path.join(mdir, "model.npz"))
+    # test metrics go to the logger (reference behavior: train_stats only
+    # tracks keys initialized by the loop, train.py:39-41)
+    lines = open(os.path.join(mdir, "metrics.jsonl")).read().splitlines()
+    assert len(lines) >= 6 and "train_loss" in lines[0]
+    assert "test_c-index" in lines[-1]
+
+
+def test_train_resumes_from_checkpoint(ds):
+    tmp, cfg, train, val, test = ds
+    mdir = os.path.join(tmp, "model_resume")
+    mesh = make_mesh(1)
+    cfg.num_epochs = 2
+    stats1 = train_loop(cfg, mdir, train, val, test, mesh=mesh, verbose=False)
+    # saved stats claim completion at epoch 2; extend and resume
+    cfg.num_epochs = 3
+    stats2 = train_loop(cfg, mdir, train, val, test, mesh=mesh, verbose=False)
+    # resumed at saved epoch (=2, reference semantics: train_stats["epoch"]
+    # is num_epochs at completion and resume re-runs it), then epoch 3;
+    # epoch-1 history survives from the first run
+    assert set(stats2["train_loss"]) == {1, 2, 3}
+    assert stats2["epoch"] == 3
+
+
+def test_train_dp_mesh_padding(ds):
+    """8-device mesh with 7 train slides: batches pad to mesh multiples
+    with zero-weighted duplicates; loss stays finite and weighted."""
+    tmp, cfg, train, val, test = ds
+    mdir = os.path.join(tmp, "model_dp")
+    mesh = make_mesh(8)
+    cfg.num_epochs = 1
+    cfg.batch_size = [4]
+    stats = train_loop(cfg, mdir, train, val, test, mesh=mesh, verbose=False)
+    assert np.isfinite(stats["train_loss"][1])
+
+
+def test_dp_matches_single_device(ds):
+    """The sharded update must produce the same training trajectory as a
+    single device (same seeds, same batches)."""
+    tmp, cfg, train, val, test = ds
+    cfg.num_epochs = 2
+    s1 = train_loop(cfg, os.path.join(tmp, "m1"), train, val, test,
+                    mesh=make_mesh(1), verbose=False)
+    s8 = train_loop(cfg, os.path.join(tmp, "m8"), train, val, test,
+                    mesh=make_mesh(8), verbose=False)
+    for e in s1["train_loss"]:
+        np.testing.assert_allclose(s1["train_loss"][e], s8["train_loss"][e],
+                                   rtol=2e-4)
+
+
+def test_early_stopping_saves_best(ds):
+    tmp, cfg, train, val, test = ds
+    cfg.early_stopping = True
+    cfg.num_epochs = 3
+    mdir = os.path.join(tmp, "model_es")
+    stats = train_loop(cfg, mdir, train, val, test, mesh=make_mesh(1),
+                       verbose=False)
+    assert stats["epoch"] == cfg.num_epochs
+    assert os.path.isfile(os.path.join(mdir, "model.npz"))
+
+
+def test_state_roundtrip(tmp_path):
+    import jax
+
+    from paths_tpu.models.recursive import recursive_init
+
+    cfg = tiny_train_config(str(tmp_path))
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    stats = {"epoch": 5, "train_loss": {1: 0.5, 2: 0.4}}
+    save_state(str(tmp_path), params, train_stats=stats)
+    params2 = recursive_init(jax.random.PRNGKey(1), cfg)
+    params2, _, stats2 = load_state(str(tmp_path), params2)
+    np.testing.assert_array_equal(
+        np.asarray(params["procs"][0]["classification"]["w"]),
+        np.asarray(params2["procs"][0]["classification"]["w"]))
+    assert stats2["epoch"] == 5
+    assert stats2["train_loss"][2] == 0.4  # int keys restored from json
+
+
+def test_cli_train(ds, monkeypatch):
+    tmp, cfg, *_ = ds
+    mdir = os.path.join(tmp, "model_cli")
+    os.makedirs(mdir)
+    cfg.num_epochs = 1
+    cfg.hipt_splits = False
+    cfg.save(mdir)
+
+    from paths_tpu.cli.train import main
+
+    main(["-m", mdir, "--no-wandb"])
+    assert os.path.isfile(os.path.join(mdir, "model.npz"))
+    assert os.path.isfile(os.path.join(mdir, "train_stats.json"))
+    stats = json.load(open(os.path.join(mdir, "train_stats.json")))
+    assert stats["epoch"] == 1
