@@ -65,7 +65,14 @@ def build_batch(cfg: Config, seed: int = 0):
 
 
 def bench_tpu(cfg: Config, batch) -> float:
-    """Steady-state seconds per training step."""
+    """Steady-state seconds per training step.
+
+    Steps chain through donated params, and the final loss is pulled to
+    the host as a Python float — `float(loss)` cannot complete until every
+    step in the chain has executed, which is the only reliable
+    materialization barrier on remote-tunneled devices where
+    `block_until_ready` can return early.
+    """
     bag0, tables, labels = batch
     params = recursive_init(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(cfg)
@@ -76,13 +83,32 @@ def bench_tpu(cfg: Config, batch) -> float:
     for _ in range(WARMUP):
         params, opt_state, loss, _ = update(params, opt_state, bag0, tables,
                                             labels, rng)
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         params, opt_state, loss, _ = update(params, opt_state, bag0, tables,
                                             labels, rng)
-    jax.block_until_ready(loss)
+    float(loss)
     return (time.perf_counter() - t0) / ITERS
+
+
+def bench_encoder(batch_size: int = 256, iters: int = 5) -> float:
+    """ViT-L (UNI) patch-encode throughput, img/s, chained dispatch."""
+    import jax.numpy as jnp
+
+    from paths_tpu.encoders.registry import _vit_encode, from_name
+
+    encode, dim, tspec = from_name("UNI")
+    x = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).random((batch_size, 256, 256, 3),
+                                        dtype=np.float32)))
+    s = float(jnp.sum(encode(x)))  # compile + warm
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(iters):
+        acc = jnp.sum(encode(x)) + (0.0 if acc is None else acc * 0)
+    float(acc)
+    return batch_size / ((time.perf_counter() - t0) / iters)
 
 
 def bench_reference_torch(cfg: Config, seed: int = 0) -> float:
@@ -169,6 +195,12 @@ def main():
     tpu_sps = B / t_tpu
 
     try:
+        enc_ips = bench_encoder()
+    except Exception as e:
+        print(f"encoder bench failed: {e}", file=sys.stderr)
+        enc_ips = None
+
+    try:
         t_ref = bench_reference_torch(cfg)
         ref_sps = B / t_ref
         vs = tpu_sps / ref_sps
@@ -183,6 +215,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "tpu_step_ms": round(t_tpu * 1e3, 2),
         "baseline_slides_per_sec_torch_host": round(ref_sps, 2) if ref_sps else None,
+        "uni_vitl_encode_img_per_sec": round(enc_ips, 1) if enc_ips else None,
         "device": str(jax.devices()[0]),
     }))
 

@@ -1,0 +1,72 @@
+"""Standalone evaluation of a trained model on a dataset split.
+
+The reference only evaluates inside train.py; this entry point loads a
+checkpoint (native `model.npz` or a reference torch `model.pt`) and
+reports loss + c-index/AUC on the chosen split:
+
+    python -m paths_tpu.cli.evaluate -m models/DIR [--split test]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model-dir", required=True)
+    parser.add_argument("--split", choices=["train", "val", "test"],
+                        default="test")
+    parser.add_argument("--batch-size", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from paths_tpu.config import Config
+    from paths_tpu.runtime import set_matmul_precision, setup_compilation_cache
+
+    config = Config.load(args.model_dir)
+    setup_compilation_cache()
+    set_matmul_precision(config.compute_dtype)
+    np.random.seed(config.seed)
+
+    import jax
+
+    from paths_tpu.data.dataset import load_splits
+    from paths_tpu.models.recursive import recursive_init
+    from paths_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from paths_tpu.train.evaluators import make_evaluator
+    from paths_tpu.train.loop import _epoch_batches, make_optimizer, make_step_fns
+    from paths_tpu.train.state import load_state
+
+    splits = load_splits([0.7, 0.15, 0.15], config.seed, config)
+    ds = {"train": splits[0], "val": splits[1], "test": splits[2]}[args.split]
+    assert ds is not None and len(ds), f"split '{args.split}' is empty"
+
+    params = recursive_init(jax.random.PRNGKey(config.seed), config)
+    params, _, stats = load_state(args.model_dir, params, config=config)
+    print(f"Loaded checkpoint from epoch {stats.get('epoch')}")
+
+    mesh = make_mesh(config.mesh_shape[0] if config.mesh_shape else None)
+    params = replicate(mesh, params)
+    _, evaluate = make_step_fns(config, make_optimizer(config))
+
+    evaluator = make_evaluator(config, args.split)
+    bs = args.batch_size or config.batch_size[0]
+    for bag0, tables, labels, w in _epoch_batches(
+            ds, bs, shuffle=False, seed=0, mesh_size=mesh.devices.size,
+            config=config):
+        bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
+        loss, aux = evaluate(params, bag0, tables, labels)
+        n_real = int(w.sum())
+        host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}
+        evaluator.register(host_labels, np.asarray(aux["pred"])[:n_real],
+                           float(loss))
+
+    out = evaluator.calculate()
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

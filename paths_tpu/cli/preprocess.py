@@ -1,0 +1,87 @@
+"""Offline preprocessing entry point.
+
+CLI contract mirrors the reference (`preprocess/preprocess.py:156-176`):
+
+    python -m paths_tpu.cli.preprocess -m UNI -d /path/to/svs_dir \
+        -o /path/to/out -b 64 --weights uni_state_dict.pt
+
+Differences from the reference's flags: `--weights` points at a torch
+state_dict for the encoder (no hub downloads here); `--ext` selects the
+slide extension (`.svs` via OpenSlide, `.npy` array pyramids for
+fixtures); `-w/--workers` is the per-slide read-thread count (the
+reference's 32-process fan-out shared one GPU across processes — on TPU a
+single process drives the chip and threads feed it).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from paths_tpu.data.feature_store import FeatureStore
+from paths_tpu.preprocess.pipeline import process_slide
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model", type=str, default="UNI",
+                        help="Patch processing model")
+    parser.add_argument("--weights", type=str, default=None,
+                        help="Path to a torch state_dict for the encoder")
+    parser.add_argument("-d", "--dir", type=str, required=True,
+                        help="Path to input data folder")
+    parser.add_argument("-o", "--out", type=str, required=True,
+                        help="Path to output data folder")
+    parser.add_argument("-b", "--batch", type=int, default=64)
+    parser.add_argument("-p", "--patch", type=int, default=256)
+    parser.add_argument("-t", "--threads", "-w", "--workers", type=int,
+                        default=8, dest="threads",
+                        help="Patch-read threads per slide")
+    parser.add_argument("-ms", "--magnifications", type=float, nargs="+",
+                        default=[0.625, 1.25, 2.5, 5.0, 10.0])
+    parser.add_argument("-ds", "--downscale", type=int, default=4,
+                        help="Downscale factor for the background mask")
+    parser.add_argument("--tissue-threshold", type=float, default=0.1)
+    parser.add_argument("--default-power", type=float, default=40.0,
+                        help="Objective power assumed when the slide does "
+                             "not declare one (reference assumes 40)")
+    parser.add_argument("--ext", type=str, default=".svs")
+    parser.add_argument("--data-shards", type=int, default=0,
+                        help="Shard encode batches over this many devices "
+                             "(0 = single device)")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    from paths_tpu.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from paths_tpu.encoders.registry import from_name
+
+    encode, dim, _ = from_name(args.model, weights_path=args.weights)
+
+    mesh = None
+    if args.data_shards:
+        from paths_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_shards)
+
+    store = FeatureStore(args.out, create=True)
+    slide_files = sorted(f for f in os.listdir(args.dir)
+                         if f.endswith(args.ext))
+    print(f"Preprocessing {len(slide_files)} slides "
+          f"({args.model}, dim {dim}, powers {args.magnifications})")
+
+    for i, fname in enumerate(slide_files):
+        slide_id = ".".join(fname.split(".")[:-1])
+        if args.verbose:
+            print(f"[{i + 1}/{len(slide_files)}] {slide_id}")
+        process_slide(
+            os.path.join(args.dir, fname), slide_id, encode, dim,
+            args.magnifications, store, patch_size=args.patch,
+            tissue_threshold=args.tissue_threshold, downscale=args.downscale,
+            batch_size=args.batch, threads=args.threads, mesh=mesh,
+            default_power=args.default_power, verbose=args.verbose)
+
+
+if __name__ == "__main__":
+    main()

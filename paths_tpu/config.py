@@ -103,6 +103,9 @@ class Config:
     # --- TPU-native additions (absent from reference) ---
     # dtype used for matmuls/attention ("float32" or "bfloat16"); params are fp32
     compute_dtype: str = "float32"
+    # "xla" or "pallas" (masked flash-attention kernel for the aggregator;
+    # scales bag length past what an N x N score matrix allows)
+    attention_impl: str = "xla"
     # level-0 bags are padded up to a multiple of this (static-shape bucketing)
     level0_bucket: int = 256
     # data-parallel mesh size; None = use all available devices

@@ -1,0 +1,267 @@
+"""Vision Transformer patch encoders in JAX.
+
+Covers the architectures behind the reference's encoder zoo
+(`model/image_encoder.py`): UNI (timm ViT-L/16 with LayerScale), Virchow2
+(ViT-H/14 with SwiGLU MLP and 4 register tokens), and the Kaiko DINO ViTs.
+All follow the timm `VisionTransformer` computation graph: conv patch
+embedding, prepended class (+register) tokens, learned position embedding,
+pre-norm blocks (MHA -> LayerScale -> residual; MLP -> LayerScale ->
+residual), final LayerNorm.
+
+Built MXU-first: the whole forward is batched matmuls/einsums in a
+configurable compute dtype (bf16 by default for preprocessing, where the
+reference uses fp16 autocast, `preprocess/preprocess.py:97`).
+
+Weight conversion from timm checkpoints: `paths_tpu/encoders/convert_vit.py`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paths_tpu.nn.core import Static
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTSpec:
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    layer_scale: bool = False          # timm LayerScale (UNI: init 1e-5)
+    swiglu: bool = False               # Virchow2: SwiGLUPacked + SiLU
+    num_reg_tokens: int = 0            # Virchow2: 4 register tokens
+    pool: str = "token"                # token | token+mean (Virchow2 concat)
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def mlp_hidden(self) -> int:
+        if self.swiglu:
+            # timm SwiGLUPacked convention: hidden = int(dim * ratio) with
+            # the packed fc1 producing 2*hidden
+            return int(self.embed_dim * self.mlp_ratio)
+        return int(self.embed_dim * self.mlp_ratio)
+
+    @property
+    def out_dim(self) -> int:
+        return self.embed_dim * (2 if self.pool == "token+mean" else 1)
+
+
+# canonical specs for the reference zoo
+UNI = ViTSpec(embed_dim=1024, depth=24, num_heads=16, layer_scale=True)
+VIRCHOW2 = ViTSpec(patch_size=14, embed_dim=1280, depth=32, num_heads=20,
+                   mlp_ratio=5.3375, swiglu=True, num_reg_tokens=4,
+                   pool="token+mean")
+KAIKO_VITS16 = ViTSpec(embed_dim=384, depth=12, num_heads=6)
+KAIKO_VITS8 = ViTSpec(patch_size=8, embed_dim=384, depth=12, num_heads=6)
+KAIKO_VITB16 = ViTSpec(embed_dim=768, depth=12, num_heads=12)
+KAIKO_VITB8 = ViTSpec(patch_size=8, embed_dim=768, depth=12, num_heads=12)
+KAIKO_VITL14 = ViTSpec(patch_size=14, embed_dim=1024, depth=24, num_heads=16)
+
+
+def vit_init(key, spec: ViTSpec, dtype=jnp.float32) -> dict:
+    """Random-init ViT params. Uses numpy RNG (host-side, one shot) rather
+    than per-tensor jitted samplers: an encoder this size would otherwise
+    trigger ~100 tiny XLA compiles just to initialize, and random encoders
+    are only used for shape tests and throughput benchmarks anyway — real
+    runs load converted timm weights."""
+    if hasattr(key, "dtype"):  # jax PRNGKey -> derive a numpy seed
+        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    else:
+        seed = int(key)
+    rng = np.random.default_rng(seed)
+
+    def _trunc_normal(_key_unused, shape, std=0.02, dtype=dtype):
+        return jnp.asarray(
+            np.clip(rng.normal(0.0, std, shape), -2 * std, 2 * std), dtype)
+
+    d = spec.embed_dim
+    keys = [None] * (6 + spec.depth)
+    n_prefix = 1 + spec.num_reg_tokens
+
+    params = {
+        "spec": Static(spec),
+        "patch_embed": {
+            # conv kernel stored (P, P, 3, D) HWIO
+            "w": _trunc_normal(keys[0], (spec.patch_size, spec.patch_size, 3, d),
+                               std=0.02, dtype=dtype),
+            "b": jnp.zeros((d,), dtype),
+        },
+        "cls_token": _trunc_normal(keys[1], (d,), 1e-6, dtype),
+        "pos_embed": _trunc_normal(keys[2], (spec.num_patches + n_prefix, d),
+                                   0.02, dtype),
+        "norm": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        "blocks": [],
+    }
+    if spec.num_reg_tokens:
+        params["reg_tokens"] = _trunc_normal(
+            keys[3], (spec.num_reg_tokens, d), 1e-6, dtype)
+
+    for i in range(spec.depth):
+        bk = [None] * 8
+        h = spec.mlp_hidden
+        blk = {
+            "norm1": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "attn": {
+                "qkv_w": _trunc_normal(bk[0], (d, 3 * d), 0.02, dtype),
+                "qkv_b": jnp.zeros((3 * d,), dtype),
+                "proj_w": _trunc_normal(bk[1], (d, d), 0.02, dtype),
+                "proj_b": jnp.zeros((d,), dtype),
+            },
+            "norm2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "mlp": ({
+                "fc1_w": _trunc_normal(bk[2], (d, 2 * h), 0.02, dtype),
+                "fc1_b": jnp.zeros((2 * h,), dtype),
+                "fc2_w": _trunc_normal(bk[3], (h, d), 0.02, dtype),
+                "fc2_b": jnp.zeros((d,), dtype),
+            } if spec.swiglu else {
+                "fc1_w": _trunc_normal(bk[2], (d, h), 0.02, dtype),
+                "fc1_b": jnp.zeros((h,), dtype),
+                "fc2_w": _trunc_normal(bk[3], (h, d), 0.02, dtype),
+                "fc2_b": jnp.zeros((d,), dtype),
+            }),
+        }
+        if spec.layer_scale:
+            blk["ls1"] = 1e-5 * jnp.ones((d,), dtype)
+            blk["ls2"] = 1e-5 * jnp.ones((d,), dtype)
+        params["blocks"].append(blk)
+    return params
+
+
+def _ln(p, x, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _attn(p, x, num_heads, cd):
+    b, n, d = x.shape
+    qkv = (x.astype(cd) @ p["qkv_w"].astype(cd)) + p["qkv_b"].astype(cd)
+    qkv = qkv.reshape(b, n, 3, num_heads, d // num_heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # B,N,H,hd
+    scale = 1.0 / math.sqrt(d // num_heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(cd)
+    o = jnp.einsum("bhqk,bkhd->bqhd", w, v,
+                   preferred_element_type=jnp.float32).astype(cd)
+    o = o.reshape(b, n, d)
+    return (o @ p["proj_w"].astype(cd)) + p["proj_b"].astype(cd)
+
+
+def _mlp(p, x, swiglu, cd):
+    h = (x.astype(cd) @ p["fc1_w"].astype(cd)) + p["fc1_b"].astype(cd)
+    if swiglu:
+        # timm SwiGLUPacked: fc1 -> chunk 2 -> silu(x1) * x2
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        h = jax.nn.silu(x1) * x2
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    return (h @ p["fc2_w"].astype(cd)) + p["fc2_b"].astype(cd)
+
+
+def _block(blk, x, spec, cd):
+    a = _attn(blk["attn"], _ln(blk["norm1"], x), spec.num_heads, cd)
+    if spec.layer_scale:
+        a = a * blk["ls1"].astype(cd)
+    x = x + a
+    m = _mlp(blk["mlp"], _ln(blk["norm2"], x), spec.swiglu, cd)
+    if spec.layer_scale:
+        m = m * blk["ls2"].astype(cd)
+    return x + m
+
+
+def stack_vit_blocks(params: dict) -> dict:
+    """Convert the per-block param list into ONE stacked pytree (leading
+    depth axis) consumed via `lax.scan`. The scanned forward emits a
+    program with a single block body instead of `depth` inlined copies —
+    ~24x smaller HLO for ViT-L, which matters both for compile time and
+    for this environment's size-limited remote compiler."""
+    blocks = params["blocks"]
+    if isinstance(blocks, dict):
+        return params
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    return {**params, "blocks": stacked}
+
+
+def vit_apply(params: dict, images: jnp.ndarray,
+              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Encode images -> features.
+
+    :param images: (B, H, W, 3) float, already preprocessed (resized /
+        normalized — see `paths_tpu.preprocess.transforms`)
+    :return: (B, out_dim) float32 — cls token (timm token pooling), or
+        cls ‖ mean(patch tokens) for Virchow2 (register tokens dropped,
+        reference `image_encoder.py:13-27`)
+    """
+    spec: ViTSpec = params["spec"].value
+    cd = compute_dtype
+    b, hh, ww, _ = images.shape
+    p = spec.patch_size
+    assert hh % p == 0 and ww % p == 0, (hh, ww, p)
+
+    # patch embedding as reshape + matmul (MXU-friendly; equals the conv)
+    x = images.reshape(b, hh // p, p, ww // p, p, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (hh // p) * (ww // p),
+                                              p * p * 3)
+    w = params["patch_embed"]["w"].reshape(p * p * 3, spec.embed_dim)
+    x = (x.astype(cd) @ w.astype(cd)) + params["patch_embed"]["b"].astype(cd)
+
+    n_prefix = 1 + spec.num_reg_tokens
+    assert x.shape[1] == spec.num_patches, (
+        f"got {x.shape[1]} patches, spec expects {spec.num_patches}; "
+        "resize inputs to the spec's img_size")
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(cd)[None, None],
+                           (b, 1, spec.embed_dim))
+    reg = (jnp.broadcast_to(params["reg_tokens"].astype(cd)[None],
+                            (b, spec.num_reg_tokens, spec.embed_dim))
+           if spec.num_reg_tokens else None)
+
+    # position-embedding layout is inferred from the table's row count
+    # (timm supports all three: patches-only / cls+patches / all tokens)
+    pe = params["pos_embed"].astype(cd)[None]
+    npatch = spec.num_patches
+    if pe.shape[1] == npatch:                      # no_embed_class (DINOv2)
+        x = x + pe
+        x = jnp.concatenate(([cls, reg, x] if reg is not None else [cls, x]),
+                            axis=1)
+    elif pe.shape[1] == npatch + 1:                # cls + patches
+        x = jnp.concatenate([cls, x], axis=1) + pe
+        if reg is not None:
+            x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
+    else:                                          # every token
+        assert pe.shape[1] == npatch + n_prefix, pe.shape
+        x = jnp.concatenate(([cls, reg, x] if reg is not None else [cls, x]),
+                            axis=1)
+        x = x + pe
+
+    blocks = params["blocks"]
+    if isinstance(blocks, list):          # unrolled (parity tests)
+        for blk in blocks:
+            x = _block(blk, x, spec, cd)
+    else:                                 # stacked -> scanned (production)
+        def body(carry, blk):
+            return _block(blk, carry, spec, cd), None
+
+        x, _ = jax.lax.scan(body, x, blocks)
+
+    x = _ln(params["norm"], x)
+    cls_out = x[:, 0].astype(jnp.float32)
+    if spec.pool == "token+mean":
+        patch_mean = x[:, n_prefix:].mean(axis=1).astype(jnp.float32)
+        return jnp.concatenate([cls_out, patch_mean], axis=-1)
+    return cls_out

@@ -48,8 +48,16 @@ def build_level_table(grid: np.ndarray, min_rows: int = 0):
     """Host-side: dense (H, W, D) grid -> single-slide table dict (numpy).
 
     Background = all-zero feature vector, tested as sum == 0 to match the
-    reference's filter (`data_utils/slide.py:325`).
+    reference's filter (`data_utils/slide.py:325`). Dispatches to the
+    OpenMP C++ kernel (`paths_tpu/native`) when built.
     """
+    from paths_tpu import native
+
+    if native.available():
+        out = native.build_level_table_native(grid, min_rows)
+        if out is not None:
+            return out
+
     h, w, d = grid.shape
     flat = grid.reshape(-1, d)
     bg = flat.sum(axis=1) == 0
@@ -126,6 +134,13 @@ def level0_bag_arrays(grid: np.ndarray, patch_size: int):
     with zero features (`data_utils/slide.py:258-269`; the in-code comment
     claims filtering but none happens). Returns (fts, locs_pixels, n).
     """
+    from paths_tpu import native
+
+    if native.available():
+        out = native.level0_bag_native(grid, patch_size)
+        if out is not None:
+            return out
+
     h, w, d = grid.shape
     fts = grid.reshape(-1, d)
     ys, xs = np.divmod(np.arange(h * w, dtype=np.int32), w)

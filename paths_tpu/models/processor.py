@@ -120,7 +120,7 @@ def processor_apply(params: dict, config: PATHSProcessorConfig,
     slide_features = aggregator_apply(
         params["agg"], cond, xs, None, mask,
         dropout_rate=config.dropout, rng=rng, deterministic=deterministic,
-        compute_dtype=cd)
+        compute_dtype=cd, impl=train_config.attention_impl)
 
     # ---- residual slide context (`model/paths.py:130-131`)
     if config.slide_ctx_mode == "residual" and bag.ctx_depth > 0:

@@ -39,13 +39,19 @@ def _split_heads(x: jnp.ndarray, h: int) -> jnp.ndarray:
 def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
               value: jnp.ndarray, *, key_valid: Optional[jnp.ndarray] = None,
               dropout_rate: float = 0.0, rng: Optional[jax.Array] = None,
-              deterministic: bool = True, compute_dtype=None) -> jnp.ndarray:
+              deterministic: bool = True, compute_dtype=None,
+              impl: str = "xla") -> jnp.ndarray:
     """Scaled dot-product MHA.
 
     :param query: (B, Nq, D)
     :param key_/value: (B, Nk, D)
     :param key_valid: optional (B, Nk) bool — True marks attendable keys
         (inverse of torch's key_padding_mask)
+    :param impl: "xla" (default) or "pallas" — the Pallas masked
+        flash-attention kernel (`paths_tpu/kernels/flash_attention.py`);
+        requires a PREFIX mask (valid keys first — guaranteed for
+        compacted PatchBags) and falls back to XLA when attention-weight
+        dropout is active.
     :return: (B, Nq, D)
 
     If Nk == 0 the result is all-zero, matching torch's behavior for
@@ -65,14 +71,26 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
     k = _split_heads(proj(params["k"], key_), h)    # B,H,Nk,hd
     v = _split_heads(proj(params["v"], value), h)
 
-    scale = 1.0 / math.sqrt(d // h)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if key_valid is not None:
-        logits = jnp.where(key_valid[:, None, None, :], logits, NEG_INF)
-    weights = jax.nn.softmax(logits, axis=-1)
-    weights = dropout(weights, dropout_rate, rng=rng, deterministic=deterministic)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(cd), v,
-                     preferred_element_type=jnp.float32).astype(cd)
+    use_pallas = (impl == "pallas"
+                  and (deterministic or dropout_rate == 0.0)
+                  and nq == nk)
+    if use_pallas:
+        from paths_tpu.kernels.flash_attention import masked_flash_attention
+
+        lengths = (jnp.sum(key_valid, axis=-1).astype(jnp.int32)
+                   if key_valid is not None
+                   else jnp.full((b,), nk, jnp.int32))
+        ctx = masked_flash_attention(q, k, v, lengths)
+    else:
+        scale = 1.0 / math.sqrt(d // h)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if key_valid is not None:
+            logits = jnp.where(key_valid[:, None, None, :], logits, NEG_INF)
+        weights = jax.nn.softmax(logits, axis=-1)
+        weights = dropout(weights, dropout_rate, rng=rng,
+                          deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(cd), v,
+                         preferred_element_type=jnp.float32).astype(cd)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, nq, d)
     return proj(params["out"], ctx).astype(query.dtype)

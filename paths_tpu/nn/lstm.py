@@ -37,11 +37,33 @@ def lstm_cell_init(key, input_dim: int, output_dim: int, hidden_dim: int,
 
 def lstm_cell_apply(params: dict, xs: jnp.ndarray, hs: jnp.ndarray,
                     cs: jnp.ndarray, *, compute_dtype=None):
-    """One cell step. All of xs/hs/cs are (..., dim); returns (h', c')."""
-    xhs = jnp.concatenate([xs, hs], axis=-1)
-    lin = lambda name, v: linear_apply(params[name], v, compute_dtype=compute_dtype)
+    """One cell step. All of xs/hs/cs are (..., dim); returns (h', c').
 
-    cs = cs * jax.nn.sigmoid(lin("forget_gate", xhs))
-    cs = cs + jax.nn.sigmoid(lin("remember_gate", xhs)) * jnp.tanh(lin("remember_map", xhs))
-    hs = jax.nn.sigmoid(lin("out_select_gate", xhs)) * jnp.tanh(lin("mem_to_out", cs))
+    The four gates that read `concat(x, h)` are evaluated as ONE packed
+    matmul (their weights concatenated along the output axis) — a single
+    large MXU op instead of four narrow ones; XLA CSEs the weight concat
+    across steps. Numerics are unchanged (same products, same order).
+    """
+    cd = compute_dtype
+    xhs = jnp.concatenate([xs, hs], axis=-1)
+    if cd is not None:
+        xhs = xhs.astype(cd)
+
+    names = ["forget_gate", "remember_gate", "remember_map", "out_select_gate"]
+    w = jnp.concatenate([params[n]["w"] for n in names], axis=1)
+    b = jnp.concatenate([params[n]["b"] for n in names], axis=0)
+    if cd is not None:
+        w, b = w.astype(cd), b.astype(cd)
+    packed = xhs @ w + b
+
+    cdim = params["forget_gate"]["b"].shape[0]
+    f = packed[..., :cdim]
+    r = packed[..., cdim:2 * cdim]
+    rm = packed[..., 2 * cdim:3 * cdim]
+    o = packed[..., 3 * cdim:]
+
+    cs = cs * jax.nn.sigmoid(f)
+    cs = cs + jax.nn.sigmoid(r) * jnp.tanh(rm)
+    hs = jax.nn.sigmoid(o) * jnp.tanh(
+        linear_apply(params["mem_to_out"], cs, compute_dtype=cd))
     return hs.astype(xs.dtype), cs.astype(xs.dtype)

@@ -26,3 +26,18 @@ def set_matmul_precision(compute_dtype: str) -> None:
     numerics; bf16 configs keep the fast default MXU path."""
     if compute_dtype == "float32":
         jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize `jax.distributed` for multi-host (multi-slice / pod)
+    runs when coordinator env vars are present; single-host runs are a
+    no-op. The trainer's mesh helpers then see every host's devices and
+    DP sharding rides ICI/DCN via XLA collectives (SURVEY.md §5
+    'distributed communication backend')."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False

@@ -117,6 +117,33 @@ def test_end2end_parity():
                                atol=ATOL)
 
 
+def test_end2end_parity_1d_posenc():
+    """1D positional encodings index by BAG POSITION, so this only passes
+    if the engine's compaction reproduces the reference's exact bag order
+    at every level."""
+    cfg = small_config(pos_encoding_mode="1d")
+    rng = np.random.default_rng(21)
+    d = cfg.model_config.patch_embed_dim
+    slide_grids = [
+        make_grids(rng, [(3, 4), (6, 8), (12, 16)], d, bg_fraction=0.4),
+        make_grids(rng, [(2, 3), (4, 6), (8, 12)], d),
+    ]
+    ref_logits, ref_batches, outs = run_both(slide_grids, cfg)
+    p = cfg.model_config.patch_size
+    for lvl in range(cfg.num_levels):
+        # order-sensitive comparison: the exact sequence of locs must match
+        ref_locs = ref_batches[lvl]["locs"].numpy()
+        num = ref_batches[lvl]["num_ims"].numpy()
+        our_locs = np.asarray(outs[lvl]["bag"].locs)
+        our_mask = np.asarray(outs[lvl]["bag"].mask)
+        for j in range(len(slide_grids)):
+            np.testing.assert_array_equal(
+                our_locs[j][our_mask[j]], ref_locs[j][: num[j]],
+                err_msg=f"bag order mismatch at level {lvl} slide {j}")
+    np.testing.assert_allclose(np.asarray(outs[-1]["logits"]), ref_logits,
+                               atol=ATOL)
+
+
 def test_end2end_parity_keep_all():
     """top_k = -1 keeps every patch (reference slide.py:302-303)."""
     cfg = small_config()

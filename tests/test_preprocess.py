@@ -1,0 +1,136 @@
+"""Preprocessor: Otsu masking, tissue proportions, end-to-end grid
+production on a synthetic WSI, CLI + resume semantics."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from paths_tpu.data.feature_store import FeatureStore
+from paths_tpu.preprocess.masking import otsu_threshold, tissue_mask, tissue_masks
+from paths_tpu.preprocess.pipeline import (
+    cell_tissue_proportions,
+    process_level,
+    process_slide,
+)
+from paths_tpu.preprocess.wsi import ArrayWSI, camelyon_map, open_wsi
+
+
+def make_fake_slide(rows=512, cols=768, seed=0):
+    """White background with a dark tissue blob in the left half."""
+    rng = np.random.default_rng(seed)
+    img = np.full((rows, cols, 3), 240, np.uint8)
+    img[:, :] += rng.integers(0, 10, (rows, cols, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    blob = ((yy - rows // 2) ** 2 + (xx - cols // 4) ** 2) < (rows // 3) ** 2
+    tissue = rng.integers(80, 160, (rows, cols, 3)).astype(np.uint8)
+    img[blob] = tissue[blob]
+    return img, blob
+
+
+def test_otsu_separates_bimodal():
+    g = np.concatenate([np.full(500, 50.0), np.full(500, 200.0)])
+    t = otsu_threshold(g)
+    assert 50 < t < 200
+
+
+def test_tissue_mask_finds_blob():
+    img, blob = make_fake_slide()
+    mask = tissue_mask(img)
+    # blob recall and background precision should both be high
+    assert mask[blob].mean() > 0.95
+    assert mask[~blob].mean() < 0.05
+
+
+def test_tissue_masks_shared_threshold():
+    img, _ = make_fake_slide()
+    masks = tissue_masks([img[:100], img[100:]])
+    assert masks[0].shape == (100, img.shape[1])
+
+
+def test_cell_proportions_matches_naive():
+    rng = np.random.default_rng(0)
+    mask = rng.uniform(size=(37, 53)) > 0.5
+    cell = 8
+    props = cell_tissue_proportions(mask, cell, 5, 7)
+    for r in range(5):
+        for c in range(7):
+            s = mask[r * cell:(r + 1) * cell, c * cell:(c + 1) * cell]
+            expect = s.sum() / s.size if s.size else 0.0
+            np.testing.assert_allclose(props[r, c], expect, atol=1e-9)
+
+
+def test_camelyon_map():
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[0, 0] = [100, 100, 100]
+    out = camelyon_map(img)
+    assert (out[1, 1] == 255).all() and (out[0, 0] == 100).all()
+
+
+def _dummy_encoder(dim=32):
+    def encode(imgs):  # (B, P, P, 3) in [0,1] -> mean-pool based feature
+        pooled = imgs.mean(axis=(1, 2))              # (B, 3)
+        return jnp.tile(pooled, (1, dim // 3 + 1))[:, :dim] + 1.0
+    return encode, dim
+
+
+def test_process_level_grid_contract():
+    img, blob = make_fake_slide(rows=512, cols=768)
+    wsi = ArrayWSI(img, base_power=10.0)
+    encode, dim = _dummy_encoder()
+    grid = process_level(wsi, encode, dim, power=10.0, patch_size=128,
+                         tissue_threshold=0.1, downscale=4, batch_size=8,
+                         threads=2)
+    assert grid.shape == (4, 6, dim)
+    # background cells are exactly zero; tissue cells nonzero
+    cell_blob = blob.reshape(4, 128, 6, 128).mean(axis=(1, 3))
+    assert (np.abs(grid[cell_blob > 0.5]).sum(axis=-1) > 0).all()
+    assert (np.abs(grid[cell_blob == 0]).sum(axis=-1) == 0).all()
+
+
+def test_process_level_downscaled_pyramid():
+    """Reading the same slide at half power halves the grid."""
+    img, _ = make_fake_slide(rows=512, cols=768)
+    wsi = ArrayWSI(img, base_power=10.0)
+    encode, dim = _dummy_encoder()
+    grid = process_level(wsi, encode, dim, power=5.0, patch_size=128,
+                         batch_size=8, threads=2)
+    assert grid.shape == (2, 3, dim)
+
+
+def test_process_slide_resume(tmp_path):
+    img, _ = make_fake_slide()
+    np.save(os.path.join(str(tmp_path), "slideA.npy"), img)
+    store = FeatureStore(str(tmp_path / "out"), create=True)
+    encode, dim = _dummy_encoder()
+
+    process_slide(os.path.join(str(tmp_path), "slideA.npy"), "slideA",
+                  encode, dim, [2.5, 5.0], store, patch_size=128,
+                  batch_size=8, threads=2, default_power=10.0)
+    assert store.exists("slideA", 2.5) and store.exists("slideA", 5.0)
+    g1 = np.asarray(store.load("slideA", 5.0))
+
+    # resume: existing outputs untouched (file mtime-independent check via
+    # content: overwrite store content then rerun -> not recomputed)
+    store.save("slideA", 5.0, np.ones_like(g1) * 7)
+    process_slide(os.path.join(str(tmp_path), "slideA.npy"), "slideA",
+                  encode, dim, [5.0], store, patch_size=128,
+                  batch_size=8, threads=2, default_power=10.0)
+    assert (np.asarray(store.load("slideA", 5.0)) == 7).all()
+
+
+def test_preprocess_cli(tmp_path):
+    img, _ = make_fake_slide(rows=448, cols=448)
+    d = tmp_path / "slides"
+    d.mkdir()
+    np.save(str(d / "s1.npy"), img)
+
+    from paths_tpu.cli.preprocess import main
+
+    out = str(tmp_path / "out")
+    main(["-m", "kaiko-vits16", "-d", str(d), "-o", out, "-b", "4",
+          "-p", "224", "-ms", "2.5", "--ext", ".npy", "--verbose"])
+    store = FeatureStore(out)
+    grid = np.asarray(store.load("s1", 2.5))
+    # slide at 2.5x (base 40 assumed for .npy default): 448*2.5/40 = 28 px
+    # -> rounded up to one 224 patch
+    assert grid.ndim == 3 and grid.shape[2] == 384

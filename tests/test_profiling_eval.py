@@ -1,0 +1,47 @@
+"""Profiling helpers + standalone eval CLI."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from paths_tpu.profiling import step_timer, time_fn
+
+
+def test_time_fn():
+    f = lambda x: jnp.sum(x * x)
+    stats = time_fn(f, jnp.ones(128), warmup=1, iters=3)
+    assert stats["mean_s"] > 0 and stats["min_s"] <= stats["max_s"]
+
+
+def test_step_timer():
+    t = step_timer()
+    with t("data"):
+        pass
+    with t("step"):
+        pass
+    s = t.summary()
+    assert "data_s" in s and "step_frac" in s
+    assert abs(s["data_frac"] + s["step_frac"] - 1.0) < 1e-6
+
+
+def test_evaluate_cli(tmp_path):
+    from paths_tpu.cli.train import main as train_main
+    from paths_tpu.cli.evaluate import main as eval_main
+    from paths_tpu.data.synthetic import (
+        make_synthetic_metadata,
+        make_synthetic_store,
+    )
+    from test_train_loop import tiny_train_config
+
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp, num_epochs=1)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=8,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    mdir = os.path.join(tmp, "model")
+    os.makedirs(mdir)
+    cfg.save(mdir)
+
+    train_main(["-m", mdir, "--no-wandb"])
+    out = eval_main(["-m", mdir, "--split", "test"])
+    assert "test_c-index" in out and np.isfinite(out["test_loss"])

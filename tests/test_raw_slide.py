@@ -1,0 +1,139 @@
+"""RawSlide on-the-fly path + heatmap rendering on a synthetic WSI."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paths_tpu.config import Config, PATHSProcessorConfig
+from paths_tpu.data.raw_slide import (
+    RawSlide,
+    encode_bag,
+    load_raw_slide,
+    patchify_locs,
+)
+from paths_tpu.models.recursive import recursive_init
+from paths_tpu.viz.heatmap import heatmap_slide, parse_camelyon17_anno_file
+from test_preprocess import make_fake_slide
+
+
+def small_cfg():
+    mc = PATHSProcessorConfig(patch_embed_dim=12, trans_dim=8, trans_heads=2,
+                              trans_layers=1, importance_mlp_hidden_dim=8,
+                              hierarchical_ctx_mlp_hidden_dim=8,
+                              pos_encoding_mode="2d", patch_size=64)
+    return Config(model_config=mc, num_levels=3, top_k_patches=2, nbins=2)
+
+
+def dummy_encoder(dim=12):
+    def encode(imgs):
+        pooled = imgs.mean(axis=(1, 2))
+        return jnp.tile(pooled, (1, dim // 3 + 1))[:, :dim] + 0.5
+    return encode
+
+
+def slide_file(tmp_path, rows=1024, cols=1024):
+    img, blob = make_fake_slide(rows=rows, cols=cols)
+    path = os.path.join(str(tmp_path), "slide.npy")
+    np.save(path, img)
+    return path, img, blob
+
+
+def test_patchify_locs_order():
+    img = np.arange(4 * 4 * 1).reshape(4, 4, 1).astype(np.float32)
+    patches, locs = patchify_locs(img, 2, (10, 20))
+    assert patches.shape == (4, 2, 2, 1)
+    np.testing.assert_array_equal(
+        locs, [[10, 20], [10, 22], [12, 20], [12, 22]])
+    np.testing.assert_array_equal(patches[0, :, :, 0], [[0, 1], [4, 5]])
+    np.testing.assert_array_equal(patches[1, :, :, 0], [[2, 3], [6, 7]])
+
+
+def test_load_raw_slide_filters_background(tmp_path):
+    path, img, blob = slide_file(tmp_path)
+    cfg = small_cfg()
+    # base power 10 on a 40x slide: level-0 grid = 256px/64 = 4x4
+    slide = load_raw_slide(path, 10.0, 64, cfg.model_config.ctx_dim(),
+                           tissue_threshold=0.1, camelyon=False)
+    assert slide.patches is not None
+    n = slide.patches.shape[0]
+    assert 0 < n < 16  # background got filtered
+    assert slide.ctx_patch.shape == (n, 0, cfg.model_config.ctx_dim()[1])
+
+
+def test_recursion_zooms_into_tissue(tmp_path):
+    path, img, blob = slide_file(tmp_path)
+    cfg = small_cfg()
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    encode = dummy_encoder()
+
+    slide = load_raw_slide(path, 10.0, 64, cfg.model_config.ctx_dim(),
+                           tissue_threshold=0.1, camelyon=False)
+    slides = [slide]
+    for depth in range(cfg.num_levels):
+        bag = encode_bag(slide, encode, batch_size=32)
+        from paths_tpu.models.recursive import recursive_apply
+
+        out = recursive_apply(params, cfg, depth, bag)
+        if depth != cfg.num_levels - 1:
+            slide = slide.recurse(2, np.asarray(out["ctx_slide"][0]),
+                                  np.asarray(out["ctx_patch"][0]),
+                                  np.asarray(out["importance"][0]),
+                                  cfg.top_k_patches[depth])
+            slide.load_patches()
+            slides.append(slide)
+
+    assert slides[1].power == 20.0 and slides[2].power == 40.0
+    # K=2 parents -> at most 2*(multiplier^2 * patches per load) patches
+    assert slides[1].load_locs.shape[0] == 2
+    # parent_ind_map points into the parent's patch list
+    pim = slides[1].parent_ind_map()
+    assert (pim >= 0).all() and (pim < slides[0].patches.shape[0]).all()
+
+
+def test_all_background_fallback(tmp_path):
+    """A pure-white slide: adaptive threshold halving then keep patch 0
+    (slide.py:143-160)."""
+    img = np.full((512, 512, 3), 245, np.uint8)
+    path = os.path.join(str(tmp_path), "white.npy")
+    np.save(path, img)
+    cfg = small_cfg()
+    slide = load_raw_slide(path, 10.0, 64, cfg.model_config.ctx_dim(),
+                           tissue_threshold=0.5, camelyon=False)
+    assert slide.patches.shape[0] >= 1
+
+
+def test_heatmap_end_to_end(tmp_path):
+    path, img, blob = slide_file(tmp_path)
+    cfg = small_cfg()
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    out_pdf = os.path.join(str(tmp_path), "hm.pdf")
+    result = heatmap_slide(cfg, params, dummy_encoder(), path, None, out_pdf,
+                           tissue_threshold=0.05, camelyon=False,
+                           default_power=40.0)
+    assert os.path.isfile(result) and os.path.getsize(result) > 1000
+
+
+def test_camelyon_xml_parsing(tmp_path):
+    xml = """<?xml version="1.0"?>
+<ASAP_Annotations>
+  <Annotations>
+    <Annotation Name="A0" Type="Polygon" PartOfGroup="Tumor" Color="#F4FA58">
+      <Coordinates>
+        <Coordinate Order="0" X="100.5" Y="200.5"/>
+        <Coordinate Order="1" X="300.0" Y="200.0"/>
+        <Coordinate Order="2" X="200.0" Y="400.0"/>
+      </Coordinates>
+    </Annotation>
+  </Annotations>
+  <AnnotationGroups>
+    <Group Name="Tumor" PartOfGroup="None" Color="#F4FA58"/>
+  </AnnotationGroups>
+</ASAP_Annotations>"""
+    p = os.path.join(str(tmp_path), "anno.xml")
+    with open(p, "w") as f:
+        f.write(xml)
+    polys = parse_camelyon17_anno_file(p)
+    assert len(polys) == 1
+    coords, color = polys[0]
+    assert coords[0] == (100.5, 200.5) and len(coords) == 3

@@ -19,8 +19,10 @@ def tiny_train_config(tmp, **kw) -> Config:
                               trans_layers=1, importance_mlp_hidden_dim=8,
                               hierarchical_ctx_mlp_hidden_dim=8,
                               pos_encoding_mode="2d", dropout=0.0)
+    # level0_bucket=32 pads every batch to ONE static width: the whole
+    # loop then compiles a single program per mesh (test speed on 1 core)
     defaults = dict(num_levels=3, top_k_patches=2, nbins=2, task="survival",
-                    num_epochs=2, lr=1e-3, batch_size=4, level0_bucket=8,
+                    num_epochs=2, lr=1e-3, batch_size=4, level0_bucket=32,
                     csv_path=os.path.join(tmp, "meta.csv.zip"),
                     preprocess_dir=os.path.join(tmp, "store"),
                     wsi_dir=os.path.join(tmp, "brca"))
@@ -109,6 +111,19 @@ def test_early_stopping_saves_best(ds):
                        verbose=False)
     assert stats["epoch"] == cfg.num_epochs
     assert os.path.isfile(os.path.join(mdir, "model.npz"))
+
+
+def test_train_bf16_compute(ds):
+    """bfloat16 compute path: finite losses, fp32 params maintained."""
+    import jax
+
+    tmp, cfg, train, val, test = ds
+    cfg.compute_dtype = "bfloat16"
+    cfg.num_epochs = 1
+    mdir = os.path.join(tmp, "model_bf16")
+    stats = train_loop(cfg, mdir, train, val, test, mesh=make_mesh(1),
+                       verbose=False)
+    assert np.isfinite(stats["train_loss"][1])
 
 
 def test_state_roundtrip(tmp_path):
