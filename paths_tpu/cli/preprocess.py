@@ -45,6 +45,9 @@ def main(argv=None):
                         help="Objective power assumed when the slide does "
                              "not declare one (reference assumes 40)")
     parser.add_argument("--ext", type=str, default=".svs")
+    parser.add_argument("--fast-math", action="store_true",
+                        help="tanh-GELU encoder variant (~20%% faster, "
+                             "~1e-3 relative feature error vs timm)")
     parser.add_argument("--data-shards", type=int, default=0,
                         help="Shard encode batches over this many devices "
                              "(0 = single device)")
@@ -57,7 +60,8 @@ def main(argv=None):
 
     from paths_tpu.encoders.registry import from_name
 
-    encode, dim, _ = from_name(args.model, weights_path=args.weights)
+    encode, dim, _ = from_name(args.model, weights_path=args.weights,
+                               fast_math=args.fast_math)
 
     mesh = None
     if args.data_shards:

@@ -67,14 +67,21 @@ _VIT_SPECS = {
 
 
 def from_name(name: str, weights_path: Optional[str] = None,
-              compute_dtype=jnp.bfloat16, seed: int = 0
-              ) -> Tuple[Callable, int, TransformSpec]:
-    """:return: (encode_fn taking (B,H,W,3) [0,1] images -> (B, dim)
-    float32 features, feature dim, transform spec)."""
+              compute_dtype=jnp.bfloat16, seed: int = 0,
+              fast_math: bool = False) -> Tuple[Callable, int, TransformSpec]:
+    """:return: (encode_fn taking (B,H,W,3) [0,1] or uint8 images ->
+    (B, dim) float32 features, feature dim, transform spec).
+
+    :param fast_math: tanh-GELU instead of timm's exact erf GELU
+        (~20% faster on TPU, ~1e-3 relative feature error)."""
     name = name.lower()
 
     if name in _VIT_SPECS:
         spec, tspec = _VIT_SPECS[name]
+        if fast_math:
+            import dataclasses as _dc
+
+            spec = _dc.replace(spec, gelu="tanh")
         if weights_path:
             params = vit_from_torch_file(weights_path, spec)
         else:
