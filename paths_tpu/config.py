@@ -106,6 +106,9 @@ class Config:
     # "xla" or "pallas" (masked flash-attention kernel for the aggregator;
     # scales bag length past what an N x N score matrix allows)
     attention_impl: str = "xla"
+    # dtype for feature tables / bags in HBM ("float32" or "bfloat16";
+    # bf16 halves HBM residency and host->device traffic)
+    table_dtype: str = "float32"
     # level-0 bags are padded up to a multiple of this (static-shape bucketing)
     level0_bucket: int = 256
     # data-parallel mesh size; None = use all available devices

@@ -139,10 +139,18 @@ class SlideDataset:
     `dataset.py:139-203`)."""
 
     def __init__(self, frame: pd.DataFrame, bins, config: Config,
-                 store: FeatureStore, preload: bool = True):
+                 store: FeatureStore, preload: bool = True,
+                 cache_slides: Optional[bool] = None):
+        """:param preload: materialize every slide's tables up front (the
+        reference's RAM-resident strategy, `dataset.py:172-180`)
+        :param cache_slides: keep materialized tables after a batch is
+        collated. Defaults to `preload`; set False for datasets larger
+        than host RAM — tables rebuild from the memory-mapped store per
+        batch (the native C++ builder makes this cheap)."""
         self.config = config
         self.frame = frame
         self.bins = bins
+        self.cache_slides = preload if cache_slides is None else cache_slides
         mc = config.model_config
 
         self.q_survival_months = np.asarray(pd.cut(
@@ -191,7 +199,7 @@ class SlideDataset:
 
 def collate_batch(dataset: SlideDataset, indices: Sequence[int],
                   level0_bucket: int = 256, row_bucket: int = 256,
-                  grid_bucket: int = 16, dtype=jnp.float32):
+                  grid_bucket: int = 16, dtype=None):
     """Collate slides into (PatchBag, [LevelTable], labels).
 
     Static-shape bucketing: the level-0 width is the batch max rounded up
@@ -201,6 +209,8 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
     """
     cfg = dataset.config
     mc = cfg.model_config
+    if dtype is None:
+        dtype = jnp.dtype(cfg.table_dtype)
     slides = [dataset.slides[i] for i in indices]
     b = len(slides)
     ds_dim, dp_dim = mc.ctx_dim()
@@ -232,9 +242,13 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
         h = _round_up(max(t["index"].shape[0] for t in per), grid_bucket)
         w = _round_up(max(t["index"].shape[1] for t in per), grid_bucket)
         tables.append(stack_tables(per, min_rows=widths[lvl],
-                                   pad_rows_to=rows, pad_grid_to=(h, w)))
+                                   pad_rows_to=rows, pad_grid_to=(h, w),
+                                   dtype=dtype))
 
     labels = {k: jnp.asarray(v) for k, v in dataset.labels(indices).items()}
+    if not dataset.cache_slides:
+        for s in slides:
+            s.unload()
     return bag0, tables, labels
 
 

@@ -59,20 +59,12 @@ def _compact(mask: jnp.ndarray, *arrays):
     return (new_mask, *out)
 
 
-def hierarchy_step(bag: PatchBag, out: dict, table: LevelTable, k: int,
-                   patch_size: int) -> PatchBag:
-    """Advance the recursion one level (reference `PreprocessedSlide.iter`,
-    `data_utils/slide.py:277-360`), batched over slides on device.
-
-    :param bag: the level-i bag that was just processed
-    :param out: processor output dict for that bag
-    :param table: LevelTable for level i+1
-    :param k: top-K patches to keep (-1 = keep all)
-    :return: the level-(i+1) bag with 4*K patch slots
-    """
+def select_children(bag: PatchBag, out: dict, k: int, patch_size: int) -> dict:
+    """Selection stage: append context, masked top-K, x4 child expansion
+    (reference `slide.py:291-315`). Device-side and differentiable w.r.t.
+    the context tensors. Returns the pre-lookup intermediates."""
     b, n, _ = bag.fts.shape
 
-    # append the new context (slide.py:291-292)
     ctx_slide = jnp.concatenate(
         [bag.ctx_slide, out["ctx_slide"][:, None]], axis=1)
     ctx_patch = jnp.concatenate(
@@ -97,7 +89,19 @@ def hierarchy_step(bag: PatchBag, out: dict, table: LevelTable, k: int,
     child_parent = jnp.tile(jnp.arange(k, dtype=jnp.int32), 4)          # (4K,)
     child_kvalid = jnp.tile(kvalid, (1, 4))                             # (B, 4K)
 
-    # bounds + background masking via the index grid (slide.py:320-329)
+    return {"ctx_slide": ctx_slide, "kept_ctx": kept_ctx,
+            "child_locs": child_locs, "child_parent": child_parent,
+            "child_kvalid": child_kvalid}
+
+
+def lookup_device(sel: dict, table: LevelTable) -> dict:
+    """Feature lookup from an HBM-resident LevelTable: bounds + background
+    masking via the index grid, gather, and the all-background fallback
+    (slide.py:320-352)."""
+    child_locs = sel["child_locs"]
+    child_kvalid = sel["child_kvalid"]
+    b, s, _ = child_locs.shape
+
     y, x = child_locs[..., 0], child_locs[..., 1]
     gh, gw = table.grid_hw[:, 0:1], table.grid_hw[:, 1:2]
     in_bounds = (y >= 0) & (y < gh) & (x >= 0) & (x < gw)
@@ -110,17 +114,15 @@ def hierarchy_step(bag: PatchBag, out: dict, table: LevelTable, k: int,
 
     fts = jnp.take_along_axis(table.fts, rows_safe[..., None], axis=1)
     fts = fts * valid[..., None]
-    new_ctx = jnp.take(kept_ctx, child_parent, axis=1)                  # (B,4K,dep,Dp)
-    parent = jnp.broadcast_to(child_parent[None], (b, s))
+    parent = jnp.broadcast_to(sel["child_parent"][None], (b, s))
 
-    # all-background fallback (slide.py:334-352): use the first
-    # min(count, 4K) non-bg rows of the grid, or raw grid cells if the
-    # whole grid is background; fallback ctx_patch is zeroed like the
-    # reference. (Deviation: capped at 4K rows; reference is unbounded.)
+    # all-background fallback: the first min(count, 4K) non-bg rows, or
+    # raw grid cells when the grid is entirely background; fallback
+    # ctx_patch is zeroed by finish_step. (Deviation: capped at 4K rows.)
     assert table.fts.shape[1] >= s, (
         f"LevelTable must carry >= 4K rows (have {table.fts.shape[1]}, "
         f"need {s}); pass min_rows=4*K when stacking")
-    any_valid = jnp.any(valid, axis=1)                                  # (B,)
+    any_valid = jnp.any(valid, axis=1)
     hw = (gh * gw)[:, 0]
     fb_n = jnp.minimum(jnp.where(table.count > 0, table.count, hw), s)
     fb_valid = jnp.arange(s)[None, :] < fb_n[:, None]
@@ -128,20 +130,47 @@ def hierarchy_step(bag: PatchBag, out: dict, table: LevelTable, k: int,
     fb_locs = table.locs[:, :s]
     fb_parent = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
 
-    sel = any_valid[:, None]
-    new_mask = jnp.where(sel, valid, fb_valid)
-    new_fts = jnp.where(sel[..., None], fts, fb_fts)
-    new_locs = jnp.where(sel[..., None], child_locs, fb_locs)
-    new_parent = jnp.where(sel, parent, fb_parent)
-    new_ctx = jnp.where(sel[..., None, None], new_ctx, 0.0)
+    use_fb = ~any_valid
+    selm = any_valid[:, None]
+    return {
+        "mask": jnp.where(selm, valid, fb_valid),
+        "fts": jnp.where(selm[..., None], fts, fb_fts),
+        "locs": jnp.where(selm[..., None], child_locs, fb_locs),
+        "parent": jnp.where(selm, parent, fb_parent),
+        "use_fallback": use_fb,
+    }
 
-    # stable compaction: valid patches to the front, reference bag order
+
+def finish_step(sel: dict, lookup: dict, patch_size: int) -> PatchBag:
+    """Combine selection context with looked-up features into the next
+    level's bag: tile/zero ctx, stable compaction, pixel locs."""
+    new_ctx = jnp.take(sel["kept_ctx"], sel["child_parent"], axis=1)
+    new_ctx = jnp.where(lookup["use_fallback"][:, None, None, None],
+                        0.0, new_ctx)
+
     new_mask, new_fts, new_locs, new_parent, new_ctx = _compact(
-        new_mask, new_fts, new_locs, new_parent, new_ctx)
+        lookup["mask"], lookup["fts"], lookup["locs"], lookup["parent"],
+        new_ctx)
 
     return PatchBag(fts=new_fts, locs=new_locs * patch_size,
                     mask=new_mask, parent_inds=new_parent,
-                    ctx_slide=ctx_slide, ctx_patch=new_ctx)
+                    ctx_slide=sel["ctx_slide"], ctx_patch=new_ctx)
+
+
+def hierarchy_step(bag: PatchBag, out: dict, table: LevelTable, k: int,
+                   patch_size: int) -> PatchBag:
+    """Advance the recursion one level (reference `PreprocessedSlide.iter`,
+    `data_utils/slide.py:277-360`), batched over slides on device.
+
+    :param bag: the level-i bag that was just processed
+    :param out: processor output dict for that bag
+    :param table: LevelTable for level i+1
+    :param k: top-K patches to keep (-1 = keep all)
+    :return: the level-(i+1) bag with 4*K patch slots
+    """
+    sel = select_children(bag, out, k, patch_size)
+    lookup = lookup_device(sel, table)
+    return finish_step(sel, lookup, patch_size)
 
 
 def end2end_forward(params: dict, config: Config, bag0: PatchBag,

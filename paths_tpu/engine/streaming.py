@@ -1,0 +1,180 @@
+"""Streaming (two-pass) execution: hierarchical training for datasets whose
+feature tables exceed device HBM.
+
+The fused engine (`hierarchy.py`) holds every level's `LevelTable` in HBM
+for the whole batch. At higher base powers or deeper hierarchies the
+tables outgrow a chip, while the *selected* bags stay tiny (4K patches per
+level). This engine keeps tables on the host (memory-mapped via the
+feature store) and moves only what the recursion actually touches:
+
+  pass 1 (selection): per level, the jitted forward + `select_children`
+      run on device; the child coordinates (a few KB) come to the host;
+      the host gathers child features from the slide tables
+      (`lookup_host`, numpy mirror of `lookup_device`); the gathered bag
+      (4K x D) goes back to the device. This is the reference's own data
+      flow (`utils.py:240-258`) minus the per-slide Python loop.
+  pass 2 (gradient): one jitted replay over the recorded lookups —
+      identical math to pass 1 (same params, same rng), so the top-K
+      selections recompute identically and gradients flow through the
+      kept patches' context exactly as in the fused engine.
+
+Equivalence with the fused engine is tested to float tolerance
+(tests/test_streaming.py), gradients included.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paths_tpu.config import Config
+from paths_tpu.engine.hierarchy import finish_step, select_children
+from paths_tpu.engine.hierarchy import end2end_loss as _unused  # noqa: F401
+from paths_tpu.models.batch import PatchBag
+from paths_tpu.models.recursive import recursive_apply
+from paths_tpu.ops.losses import cross_entropy_loss, nll_survival_loss
+
+
+def lookup_host(child_locs: np.ndarray, child_kvalid: np.ndarray,
+                host_tables: Sequence[dict]) -> dict:
+    """Numpy mirror of `hierarchy.lookup_device` over per-slide table
+    dicts (as produced by `build_level_table`)."""
+    b, s, _ = child_locs.shape
+    d = host_tables[0]["fts"].shape[1]
+    fts = np.zeros((b, s, d), host_tables[0]["fts"].dtype)
+    mask = np.zeros((b, s), bool)
+    locs = np.zeros((b, s, 2), np.int32)
+    parent = np.zeros((b, s), np.int32)
+    use_fb = np.zeros((b,), bool)
+    base_parent = np.tile(np.arange(s // 4, dtype=np.int32), 4)
+
+    for j, t in enumerate(host_tables):
+        y, x = child_locs[j, :, 0], child_locs[j, :, 1]
+        gh, gw = int(t["grid_hw"][0]), int(t["grid_hw"][1])
+        inb = (y >= 0) & (y < gh) & (x >= 0) & (x < gw)
+        yc = np.clip(y, 0, t["index"].shape[0] - 1)
+        xc = np.clip(x, 0, t["index"].shape[1] - 1)
+        rows = t["index"][yc, xc]
+        valid = child_kvalid[j] & inb & (rows >= 0)
+
+        if valid.any():
+            rows_safe = np.where(valid, rows, 0)
+            fts[j] = t["fts"][rows_safe] * valid[:, None]
+            mask[j] = valid
+            locs[j] = child_locs[j]
+            parent[j] = base_parent
+        else:
+            use_fb[j] = True
+            count = int(t["count"])
+            fb_n = min(count if count > 0 else gh * gw, s)
+            m = t["fts"].shape[0]
+            take = min(s, m)
+            fts[j, :take] = t["fts"][:take]
+            locs[j, :take] = t["locs"][:take]
+            mask[j] = np.arange(s) < fb_n
+            fts[j] = fts[j] * mask[j][:, None]
+            parent[j] = np.arange(s, dtype=np.int32)
+    return {"mask": mask, "fts": fts, "locs": locs, "parent": parent,
+            "use_fallback": use_fb}
+
+
+class StreamingEngine:
+    """Two-pass streaming executor bound to a config."""
+
+    def __init__(self, config: Config):
+        self.config = config
+
+        cfg = config
+
+        @partial(jax.jit, static_argnames=("depth", "deterministic"))
+        def fwd(params, bag, rng, depth, deterministic):
+            return recursive_apply(params, cfg, depth, bag, rng=rng,
+                                   deterministic=deterministic)
+
+        @partial(jax.jit, static_argnames=("k",))
+        def select(bag, out, k):
+            return select_children(bag, out, k, cfg.model_config.patch_size)
+
+        @jax.jit
+        def finish(sel, lookup):
+            return finish_step(sel, lookup, cfg.model_config.patch_size)
+
+        self._fwd = fwd
+        self._select = select
+        self._finish = finish
+        self._grad = None
+
+    # ---------------------------------------------------------------- pass 1
+
+    def forward(self, params, bag0: PatchBag, host_tables: List[List[dict]],
+                *, rng=None, deterministic=True, record=False):
+        """Run the recursion; `host_tables[l][j]` is slide j's table for
+        level l+1. Returns (outs, recorded_lookups)."""
+        cfg = self.config
+        bag = bag0
+        outs, recorded = [], []
+        for i in range(cfg.num_levels):
+            lrng = jax.random.fold_in(rng, i) if rng is not None else None
+            out = self._fwd(params, bag, lrng, depth=i,
+                            deterministic=deterministic)
+            outs.append({**out, "bag": bag})
+            if i != cfg.num_levels - 1:
+                sel = self._select(bag, out, cfg.top_k_patches[i])
+                lk = lookup_host(np.asarray(sel["child_locs"]),
+                                 np.asarray(sel["child_kvalid"]),
+                                 [ts[i] for ts in host_tables])
+                lk_dev = {k: jnp.asarray(v) for k, v in lk.items()}
+                if record:
+                    recorded.append(lk_dev)
+                bag = self._finish(sel, lk_dev)
+        return outs, recorded
+
+    # ---------------------------------------------------------------- pass 2
+
+    def _replay_loss(self, params, bag0, lookups, labels, rng, deterministic):
+        cfg = self.config
+        bag = bag0
+        out = None
+        for i in range(cfg.num_levels):
+            lrng = jax.random.fold_in(rng, i) if rng is not None else None
+            out = recursive_apply(params, cfg, i, bag, rng=lrng,
+                                  deterministic=deterministic)
+            if i != cfg.num_levels - 1:
+                sel = select_children(bag, out, cfg.top_k_patches[i],
+                                      cfg.model_config.patch_size)
+                bag = finish_step(sel, lookups[i],
+                                  cfg.model_config.patch_size)
+        logits = out["logits"]
+        weights = labels.get("weight")
+        if cfg.task == "survival":
+            pred = jax.nn.sigmoid(logits)
+            loss = nll_survival_loss(pred, labels["survival_bin"],
+                                     labels["censored"], weights=weights)
+        else:
+            pred = logits
+            loss = cross_entropy_loss(logits, labels["subtype"],
+                                      weights=weights)
+        return loss, pred
+
+    def loss_and_grad(self, params, bag0, host_tables, labels, *,
+                      rng=None, deterministic=False):
+        """Two passes: record lookups, then one jitted grad replay.
+        Selections in the replay recompute identically because params and
+        rng are unchanged between passes."""
+        _, recorded = self.forward(params, bag0, host_tables, rng=rng,
+                                   deterministic=deterministic, record=True)
+
+        if self._grad is None:
+            @partial(jax.jit, static_argnames=("deterministic",))
+            def grad_fn(params, bag0, lookups, labels, rng, deterministic):
+                (loss, pred), grads = jax.value_and_grad(
+                    self._replay_loss, has_aux=True)(
+                        params, bag0, lookups, labels, rng, deterministic)
+                return loss, pred, grads
+
+            self._grad = grad_fn
+
+        return self._grad(params, bag0, recorded, labels, rng, deterministic)

@@ -85,8 +85,13 @@ def build_level_table(grid: np.ndarray, min_rows: int = 0):
 
 def stack_tables(tables: Sequence[dict], min_rows: int = 0,
                  pad_rows_to: int | None = None,
-                 pad_grid_to: tuple | None = None) -> LevelTable:
-    """Pad single-slide tables to common shapes and stack into a LevelTable."""
+                 pad_grid_to: tuple | None = None,
+                 dtype=None) -> LevelTable:
+    """Pad single-slide tables to common shapes and stack into a LevelTable.
+
+    :param dtype: optional feature dtype (e.g. jnp.bfloat16 halves HBM and
+    host->device traffic for the dominant arrays; background/validity is
+    decided host-side in f32 so masking semantics are unaffected)."""
     b = len(tables)
     m = max(max(t["fts"].shape[0] for t in tables), min_rows)
     if pad_rows_to is not None:
@@ -111,7 +116,10 @@ def stack_tables(tables: Sequence[dict], min_rows: int = 0,
         index[i, :hi, :wi] = t["index"]
         grid_hw[i] = t["grid_hw"]
 
-    return LevelTable(fts=jnp.asarray(fts), locs=jnp.asarray(locs),
+    fts_j = jnp.asarray(fts)
+    if dtype is not None:
+        fts_j = fts_j.astype(dtype)
+    return LevelTable(fts=fts_j, locs=jnp.asarray(locs),
                       count=jnp.asarray(count), index=jnp.asarray(index),
                       grid_hw=jnp.asarray(grid_hw))
 

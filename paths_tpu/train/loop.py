@@ -156,6 +156,15 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                   f"({time.time() - t0:.1f}s) "
                   f"train_loss={train_stats['train_loss'].get(e, float('nan')):.4f}")
 
+        # periodic checkpoint (the reference declares `save_epochs` but
+        # never uses it, `train.py`; honoring it gives long runs crash
+        # resumability). Disabled under early stopping, where the saved
+        # checkpoint must remain the best-val one.
+        if (config.save_epochs and e % config.save_epochs == 0
+                and not config.early_stopping):
+            train_stats["epoch"] = e + 1
+            save_state(model_dir, params, opt_state, train_stats)
+
         if e % config.eval_epochs == 0 and val_ds is not None and len(val_ds):
             run_eval(val_ds, val_eval)
             log_dict = val_eval.calculate(train_stats, e) | {"epoch": e}

@@ -1,0 +1,88 @@
+"""Streaming (two-pass) engine vs the fused on-device engine: identical
+losses, predictions, and gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paths_tpu.data.dataset import collate_batch, load_splits
+from paths_tpu.data.synthetic import make_synthetic_metadata, make_synthetic_store
+from paths_tpu.engine.hierarchy import end2end_loss
+from paths_tpu.engine.streaming import StreamingEngine, lookup_host
+from paths_tpu.models.recursive import recursive_init
+from test_train_loop import tiny_train_config
+
+
+def setup(tmp_path, n=6):
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=n,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    ds = load_splits([1.0, 0.0, 0.0], seed=0, config=cfg)[0]
+    return cfg, ds
+
+
+def strip_tables(ds, indices):
+    """Per-slide host table dicts, [slide][level]."""
+    return [[dict(t) for t in ds.slides[i].tables] for i in indices]
+
+
+def test_streaming_matches_fused(tmp_path):
+    cfg, ds = setup(tmp_path)
+    idx = [0, 1, 2, 3]
+    bag0, tables, labels = collate_batch(ds, idx, level0_bucket=8)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+
+    # fused
+    (loss_f, aux_f), grads_f = jax.value_and_grad(
+        lambda p: end2end_loss(p, cfg, bag0, tables, labels),
+        has_aux=True)(params)
+
+    # streaming
+    eng = StreamingEngine(cfg)
+    host_tables = strip_tables(ds, idx)
+    loss_s, pred_s, grads_s = eng.loss_and_grad(
+        params, bag0, host_tables, labels, deterministic=True)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_f), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(pred_s), np.asarray(aux_f["pred"]),
+                               atol=2e-5)
+    for gf, gs in zip(jax.tree_util.tree_leaves(grads_f),
+                      jax.tree_util.tree_leaves(grads_s)):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gf), atol=3e-5)
+
+
+def test_streaming_forward_selections_match(tmp_path):
+    """Selected locs per level agree between engines."""
+    from paths_tpu.engine.hierarchy import end2end_forward
+
+    cfg, ds = setup(tmp_path)
+    idx = [0, 1]
+    bag0, tables, labels = collate_batch(ds, idx, level0_bucket=8)
+    params = recursive_init(jax.random.PRNGKey(1), cfg)
+
+    outs_f = end2end_forward(params, cfg, bag0, tables)
+    eng = StreamingEngine(cfg)
+    outs_s, _ = eng.forward(params, bag0, strip_tables(ds, idx))
+
+    for lvl in range(cfg.num_levels):
+        bf, bs = outs_f[lvl]["bag"], outs_s[lvl]["bag"]
+        np.testing.assert_array_equal(np.asarray(bf.mask), np.asarray(bs.mask))
+        mf = np.asarray(bf.mask)
+        np.testing.assert_array_equal(np.asarray(bf.locs)[mf],
+                                      np.asarray(bs.locs)[mf])
+
+
+def test_lookup_host_fallback(tmp_path):
+    """Host lookup reproduces the all-background fallback."""
+    from paths_tpu.engine.tables import build_level_table
+
+    grid = np.zeros((2, 2, 8), np.float32)      # all background
+    t = build_level_table(grid, min_rows=8)
+    child_locs = np.array([[[5, 5], [5, 6], [6, 5], [6, 6]] * 2])  # (1,8,2) OOB
+    kvalid = np.ones((1, 8), bool)
+    lk = lookup_host(child_locs, kvalid, [t])
+    assert lk["use_fallback"][0]
+    assert lk["mask"][0].sum() == 4             # all 4 raw cells
+    np.testing.assert_array_equal(lk["locs"][0][:4],
+                                  [[0, 0], [0, 1], [1, 0], [1, 1]])
