@@ -70,20 +70,56 @@ def make_step_fns(config: Config, tx):
     return update, evaluate
 
 
+def _prefetch(iterator, depth: int = 2):
+    """Run `iterator` in a background thread with a bounded queue so host
+    collation (grid scans, padding, H2D staging) overlaps device compute.
+    Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
-                   seed: int, mesh_size: int, config: Config):
-    """Yield (bag0, tables, labels, weights) with mesh-size padding."""
-    order = np.arange(len(dataset))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
-    for s in range(0, len(order), batch_size):
-        idx = order[s: s + batch_size].tolist()
-        idx, w = pad_batch_indices(idx, mesh_size)
-        bag0, tables, labels = collate_batch(
-            dataset, idx, level0_bucket=config.level0_bucket)
-        labels = dict(labels)
-        labels["weight"] = jax.numpy.asarray(w)
-        yield bag0, tables, labels, w
+                   seed: int, mesh_size: int, config: Config,
+                   prefetch: int = 2):
+    """Yield (bag0, tables, labels, weights) with mesh-size padding,
+    prefetched on a background thread."""
+    def gen():
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for s in range(0, len(order), batch_size):
+            idx = order[s: s + batch_size].tolist()
+            idx, w = pad_batch_indices(idx, mesh_size)
+            bag0, tables, labels = collate_batch(
+                dataset, idx, level0_bucket=config.level0_bucket)
+            labels = dict(labels)
+            labels["weight"] = jax.numpy.asarray(w)
+            yield bag0, tables, labels, w
+
+    if prefetch:
+        yield from _prefetch(gen(), depth=prefetch)
+    else:
+        yield from gen()
 
 
 def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
