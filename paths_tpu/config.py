@@ -109,6 +109,10 @@ class Config:
     # dtype for feature tables / bags in HBM ("float32" or "bfloat16";
     # bf16 halves HBM residency and host->device traffic)
     table_dtype: str = "float32"
+    # "fused": whole-batch tables resident in HBM (fastest); "streaming":
+    # host-gathered two-pass execution for datasets whose tables exceed
+    # HBM (see paths_tpu/engine/streaming.py)
+    engine: str = "fused"
     # level-0 bags are padded up to a multiple of this (static-shape bucketing)
     level0_bucket: int = 256
     # data-parallel mesh size; None = use all available devices

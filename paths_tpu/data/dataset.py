@@ -212,26 +212,10 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
     if dtype is None:
         dtype = jnp.dtype(cfg.table_dtype)
     slides = [dataset.slides[i] for i in indices]
-    b = len(slides)
-    ds_dim, dp_dim = mc.ctx_dim()
 
-    l0 = [s.level0 for s in slides]
-    n0 = _round_up(max(x[2] for x in l0), level0_bucket)
-    fts0 = np.zeros((b, n0, mc.patch_embed_dim), np.float32)
-    locs0 = np.zeros((b, n0, 2), np.int32)
-    mask0 = np.zeros((b, n0), bool)
-    for i, (f, l, n) in enumerate(l0):
-        fts0[i, :n] = f
-        locs0[i, :n] = l
-        mask0[i, :n] = True
-
-    bag0 = PatchBag(
-        fts=jnp.asarray(fts0, dtype), locs=jnp.asarray(locs0),
-        mask=jnp.asarray(mask0),
-        parent_inds=jnp.broadcast_to(
-            jnp.arange(n0, dtype=jnp.int32)[None], (b, n0)),
-        ctx_slide=jnp.zeros((b, 0, ds_dim), dtype),
-        ctx_patch=jnp.zeros((b, n0, 0, dp_dim), dtype))
+    bag0 = collate_bag0(dataset, indices, level0_bucket=level0_bucket,
+                        dtype=dtype)
+    b, n0 = bag0.mask.shape
 
     widths = bag_widths(cfg.top_k_patches, cfg.num_levels, n0)
     tables = []
@@ -250,6 +234,37 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
         for s in slides:
             s.unload()
     return bag0, tables, labels
+
+
+def collate_bag0(dataset: SlideDataset, indices: Sequence[int],
+                 level0_bucket: int = 256, dtype=None) -> PatchBag:
+    """Collate only the level-0 bag (used by the streaming engine, which
+    keeps the deeper levels' tables on the host)."""
+    cfg = dataset.config
+    mc = cfg.model_config
+    if dtype is None:
+        dtype = jnp.dtype(cfg.table_dtype)
+    slides = [dataset.slides[i] for i in indices]
+    b = len(slides)
+    ds_dim, dp_dim = mc.ctx_dim()
+
+    l0 = [s.level0 for s in slides]
+    n0 = _round_up(max(x[2] for x in l0), level0_bucket)
+    fts0 = np.zeros((b, n0, mc.patch_embed_dim), np.float32)
+    locs0 = np.zeros((b, n0, 2), np.int32)
+    mask0 = np.zeros((b, n0), bool)
+    for i, (f, l, n) in enumerate(l0):
+        fts0[i, :n] = f
+        locs0[i, :n] = l
+        mask0[i, :n] = True
+
+    return PatchBag(
+        fts=jnp.asarray(fts0, dtype), locs=jnp.asarray(locs0),
+        mask=jnp.asarray(mask0),
+        parent_inds=jnp.broadcast_to(
+            jnp.arange(n0, dtype=jnp.int32)[None], (b, n0)),
+        ctx_slide=jnp.zeros((b, 0, ds_dim), dtype),
+        ctx_patch=jnp.zeros((b, n0, 0, dp_dim), dtype))
 
 
 def iterate_batches(dataset: SlideDataset, batch_size: int, *,

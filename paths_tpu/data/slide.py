@@ -57,9 +57,7 @@ class SlidePyramid:
         if self._tables is not None:
             return
         powers = self.powers()
-        grid0 = np.asarray(self.store.load(self.slide_id, powers[0]),
-                           np.float32)
-        self._level0 = level0_bag_arrays(grid0, self.patch_size)
+        self._materialize_level0()
         tables = []
         for lvl in range(1, self.num_levels):
             grid = np.asarray(self.store.load(self.slide_id, powers[lvl]),
@@ -68,10 +66,17 @@ class SlidePyramid:
                 grid, min_rows=self.level_min_rows[lvl]))
         self._tables = tables
 
+    def _materialize_level0(self) -> None:
+        if self._level0 is None:
+            grid0 = np.asarray(self.store.load(self.slide_id, self.powers()[0]),
+                               np.float32)
+            self._level0 = level0_bag_arrays(grid0, self.patch_size)
+
     @property
     def level0(self):
-        """(fts (N0, D), locs_pixels (N0, 2), n0)"""
-        self.materialize()
+        """(fts (N0, D), locs_pixels (N0, 2), n0). Materializes only the
+        level-0 grid — the streaming engine reads deeper levels lazily."""
+        self._materialize_level0()
         return self._level0
 
     @property

@@ -197,29 +197,34 @@ def end2end_forward(params: dict, config: Config, bag0: PatchBag,
     return outs
 
 
+def task_loss(config: Config, logits: jnp.ndarray, labels: dict):
+    """Final-level loss + prediction (reference `utils.py:263-279`).
+    labels: {"survival_bin", "censored"} or {"subtype"}, optionally with
+    "weight" zeroing out mesh-padding duplicates."""
+    weights = labels.get("weight")
+    if config.task == "survival":
+        pred = jax.nn.sigmoid(logits)
+        loss = nll_survival_loss(pred, labels["survival_bin"],
+                                 labels["censored"], weights=weights)
+    elif config.task == "subtype_classification":
+        pred = logits
+        loss = cross_entropy_loss(logits, labels["subtype"], weights=weights)
+    else:
+        raise ValueError(config.task)
+    return loss, pred
+
+
 def end2end_loss(params: dict, config: Config, bag0: PatchBag,
                  tables: List[LevelTable], labels: dict, *,
                  rng: Optional[jax.Array] = None,
                  deterministic: bool = True):
-    """Final-level loss (reference `utils.py:263-279`).
-
-    labels: {"survival_bin", "censored"} or {"subtype"}.
+    """Forward through all levels + final-level loss.
     Returns (loss, aux) where aux carries hazards-or-logits + importances.
     """
     outs = end2end_forward(params, config, bag0, tables, rng=rng,
                            deterministic=deterministic)
     logits = outs[-1]["logits"]
-    weights = labels.get("weight")
-    if config.task == "survival":
-        hazards = jax.nn.sigmoid(logits)
-        loss = nll_survival_loss(hazards, labels["survival_bin"],
-                                 labels["censored"], weights=weights)
-        pred = hazards
-    elif config.task == "subtype_classification":
-        loss = cross_entropy_loss(logits, labels["subtype"], weights=weights)
-        pred = logits
-    else:
-        raise ValueError(config.task)
+    loss, pred = task_loss(config, logits, labels)
     aux = {"pred": pred, "logits": logits,
            "importances": [o["importance"] for o in outs]}
     return loss, aux

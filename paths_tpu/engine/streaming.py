@@ -31,11 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from paths_tpu.config import Config
-from paths_tpu.engine.hierarchy import finish_step, select_children
-from paths_tpu.engine.hierarchy import end2end_loss as _unused  # noqa: F401
+from paths_tpu.engine.hierarchy import finish_step, select_children, task_loss
 from paths_tpu.models.batch import PatchBag
 from paths_tpu.models.recursive import recursive_apply
-from paths_tpu.ops.losses import cross_entropy_loss, nll_survival_loss
 
 
 def lookup_host(child_locs: np.ndarray, child_kvalid: np.ndarray,
@@ -147,16 +145,12 @@ class StreamingEngine:
                                       cfg.model_config.patch_size)
                 bag = finish_step(sel, lookups[i],
                                   cfg.model_config.patch_size)
-        logits = out["logits"]
-        weights = labels.get("weight")
-        if cfg.task == "survival":
-            pred = jax.nn.sigmoid(logits)
-            loss = nll_survival_loss(pred, labels["survival_bin"],
-                                     labels["censored"], weights=weights)
-        else:
-            pred = logits
-            loss = cross_entropy_loss(logits, labels["subtype"],
-                                      weights=weights)
+        return task_loss(cfg, out["logits"], labels)
+
+    def evaluate(self, params, bag0, host_tables, labels):
+        """Single-pass (no-grad) loss + prediction."""
+        outs, _ = self.forward(params, bag0, host_tables, deterministic=True)
+        loss, pred = task_loss(self.config, outs[-1]["logits"], labels)
         return loss, pred
 
     def loss_and_grad(self, params, bag0, host_tables, labels, *,

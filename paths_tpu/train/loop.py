@@ -122,6 +122,28 @@ def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
         yield from gen()
 
 
+def _epoch_batches_streaming(dataset: SlideDataset, batch_size: int, *,
+                             shuffle: bool, seed: int, mesh_size: int,
+                             config: Config):
+    """Streaming-engine batches: level-0 bag on device, per-slide host
+    table dicts for the deeper levels (tables never leave host RAM)."""
+    from paths_tpu.data.dataset import collate_bag0
+
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for s in range(0, len(order), batch_size):
+        idx = order[s: s + batch_size].tolist()
+        idx, w = pad_batch_indices(idx, mesh_size)
+        bag0 = collate_bag0(dataset, idx, level0_bucket=config.level0_bucket)
+        slides = [dataset.slides[i] for i in idx]
+        host_tables = [s_.tables for s_ in slides]
+        labels = dict(dataset.labels(idx))
+        labels = {k: jax.numpy.asarray(v) for k, v in labels.items()}
+        labels["weight"] = jax.numpy.asarray(w)
+        yield bag0, host_tables, labels, w, slides
+
+
 def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                val_ds: Optional[SlideDataset], test_ds: SlideDataset,
                logger: Optional[MetricsLogger] = None,
@@ -129,6 +151,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
     log = logger or MetricsLogger(model_dir, config.to_dict(), use_wandb="no")
     mesh = mesh or make_mesh(config.mesh_shape[0] if config.mesh_shape else None)
     mesh_size = mesh.devices.size
+    streaming = config.engine == "streaming"
 
     params = recursive_init(jax.random.PRNGKey(config.seed), config)
     tx = make_optimizer(config)
@@ -145,20 +168,42 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
     opt_state = replicate(mesh, opt_state)
     update, evaluate = make_step_fns(config, tx)
 
+    if streaming:
+        from paths_tpu.engine.streaming import StreamingEngine
+
+        eng = StreamingEngine(config)
+
+        @jax.jit
+        def opt_apply(grads, opt_state, params):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
     batch_size = config.batch_size[0]
     rng = jax.random.PRNGKey(config.seed + 1)
     best_val_score = -1.0
 
+    def _register(evaluator, labels, pred, loss, w):
+        n_real = int(w.sum())
+        host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}
+        evaluator.register(host_labels, np.asarray(pred)[:n_real], float(loss))
+
     def run_eval(dataset, evaluator):
+        if streaming:
+            for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
+                    dataset, batch_size, shuffle=False, seed=0,
+                    mesh_size=mesh_size, config=config):
+                loss, pred = eng.evaluate(params, bag0, host_tables, labels)
+                _register(evaluator, labels, pred, loss, w)
+                if not dataset.cache_slides:
+                    for s_ in slides:
+                        s_.unload()
+            return
         for bag0, tables, labels, w in _epoch_batches(
                 dataset, batch_size, shuffle=False, seed=0,
                 mesh_size=mesh_size, config=config):
             bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
             loss, aux = evaluate(params, bag0, tables, labels)
-            n_real = int(w.sum())
-            host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}
-            evaluator.register(host_labels, np.asarray(aux["pred"])[:n_real],
-                               float(loss))
+            _register(evaluator, labels, aux["pred"], loss, w)
 
     if verbose:
         print(f"Training starts at epoch {start_epoch} "
@@ -172,18 +217,30 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         opt_state = set_lr(opt_state,
                            config.lr * config.lr_decay_per_epoch**(e - 1))
 
-        for bag0, tables, labels, w in _epoch_batches(
-                train_ds, batch_size, shuffle=True,
-                seed=config.seed * 100_003 + e, mesh_size=mesh_size,
-                config=config):
-            rng, step_rng = jax.random.split(rng)
-            bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
-            params, opt_state, loss, aux = update(
-                params, opt_state, bag0, tables, labels, step_rng)
-            n_real = int(w.sum())
-            host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}
-            train_eval.register(host_labels, np.asarray(aux["pred"])[:n_real],
-                                float(loss))
+        if streaming:
+            for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
+                    train_ds, batch_size, shuffle=True,
+                    seed=config.seed * 100_003 + e, mesh_size=mesh_size,
+                    config=config):
+                rng, step_rng = jax.random.split(rng)
+                loss, pred, grads = eng.loss_and_grad(
+                    params, bag0, host_tables, labels, rng=step_rng,
+                    deterministic=False)
+                params, opt_state = opt_apply(grads, opt_state, params)
+                _register(train_eval, labels, pred, loss, w)
+                if not train_ds.cache_slides:
+                    for s_ in slides:
+                        s_.unload()
+        else:
+            for bag0, tables, labels, w in _epoch_batches(
+                    train_ds, batch_size, shuffle=True,
+                    seed=config.seed * 100_003 + e, mesh_size=mesh_size,
+                    config=config):
+                rng, step_rng = jax.random.split(rng)
+                bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
+                params, opt_state, loss, aux = update(
+                    params, opt_state, bag0, tables, labels, step_rng)
+                _register(train_eval, labels, aux["pred"], loss, w)
 
         log.log(train_eval.calculate(train_stats, e) | {"epoch": e})
         train_eval.reset()

@@ -73,6 +73,33 @@ def test_streaming_forward_selections_match(tmp_path):
                                       np.asarray(bs.locs)[mf])
 
 
+def test_streaming_train_loop(tmp_path):
+    """config.engine='streaming' trains end to end through the loop with
+    lazy slides, matching fused-engine semantics (same learning signal)."""
+    import os
+
+    from paths_tpu.parallel.mesh import make_mesh
+    from paths_tpu.train.loop import train_loop
+
+    cfg, ds = setup(tmp_path, n=10)
+    cfg.engine = "streaming"
+    cfg.num_epochs = 2
+    train, val, test = load_splits([0.6, 0.2, 0.2], seed=0, config=cfg,
+                                   preload=False)
+    stats = train_loop(cfg, os.path.join(str(tmp_path), "m_stream"),
+                       train, val, test, mesh=make_mesh(1), verbose=False)
+    assert np.isfinite(stats["train_loss"][2])
+    # lazy slides got unloaded after each batch
+    assert all(s._tables is None for s in train.slides)
+
+    # same data, fused engine: identical first-epoch loss (same seeds)
+    cfg.engine = "fused"
+    stats_f = train_loop(cfg, os.path.join(str(tmp_path), "m_fused"),
+                         train, val, test, mesh=make_mesh(1), verbose=False)
+    np.testing.assert_allclose(stats["train_loss"][1],
+                               stats_f["train_loss"][1], rtol=2e-4)
+
+
 def test_lookup_host_fallback(tmp_path):
     """Host lookup reproduces the all-background fallback."""
     from paths_tpu.engine.tables import build_level_table
