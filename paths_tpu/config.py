@@ -103,8 +103,11 @@ class Config:
     # --- TPU-native additions (absent from reference) ---
     # dtype used for matmuls/attention ("float32" or "bfloat16"); params are fp32
     compute_dtype: str = "float32"
-    # "xla" or "pallas" (masked flash-attention kernel for the aggregator;
-    # scales bag length past what an N x N score matrix allows)
+    # "xla" (default): XLA's fused attention — measured equal-or-faster
+    # than the custom kernel inside the full model up to 8k-patch bags.
+    # "pallas": the masked flash-attention kernel (O(block) memory instead
+    # of an N x N score buffer) for bags beyond what XLA's buffer allows.
+    # "auto": pallas above 4096 keys.
     attention_impl: str = "xla"
     # dtype for feature tables / bags in HBM ("float32" or "bfloat16";
     # bf16 halves HBM residency and host->device traffic)

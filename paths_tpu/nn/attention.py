@@ -20,6 +20,20 @@ import jax.numpy as jnp
 from paths_tpu.nn.core import Static, dropout, linear_init
 from paths_tpu.ops.masking import NEG_INF
 
+# Bag length above which "auto" switches to the pallas flash kernel.
+# Interleaved steady-state measurements on v5e (dim 128, 4 heads): at
+# N=4096 the two paths are equal (~6ms, B=2 f32); at N=8192/B=4/bf16 the
+# XLA path's N^2 score buffer (2.1 GB) collapses to 453ms while the
+# flash kernel stays at 28.5ms (16x). Crossover sits between those.
+AUTO_PALLAS_MIN_LEN = 4096
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:  # noqa: BLE001 — backend probing must never raise
+        return False
+
 
 def mha_init(key, dim: int, num_heads: int, dtype=jnp.float32) -> dict:
     """Xavier-uniform q/k/v/out weights, zero biases — matching
@@ -47,11 +61,13 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
     :param key_/value: (B, Nk, D)
     :param key_valid: optional (B, Nk) bool — True marks attendable keys
         (inverse of torch's key_padding_mask)
-    :param impl: "xla" (default) or "pallas" — the Pallas masked
-        flash-attention kernel (`paths_tpu/kernels/flash_attention.py`);
-        requires a PREFIX mask (valid keys first — guaranteed for
-        compacted PatchBags) and falls back to XLA when attention-weight
-        dropout is active.
+    :param impl: "xla", "pallas", or "auto" (pallas for self-attention
+        over >= AUTO_PALLAS_MIN_LEN keys, where the XLA path's N x N
+        score materialization becomes bandwidth-bound — measured 15-22x
+        slower on v5e at N >= 2k). The pallas kernel
+        (`paths_tpu/kernels/flash_attention.py`) requires a PREFIX mask
+        (valid keys first — guaranteed for compacted PatchBags) and falls
+        back to XLA when attention-weight dropout is active.
     :return: (B, Nq, D)
 
     If Nk == 0 the result is all-zero, matching torch's behavior for
@@ -71,7 +87,10 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
     k = _split_heads(proj(params["k"], key_), h)    # B,H,Nk,hd
     v = _split_heads(proj(params["v"], value), h)
 
-    use_pallas = (impl == "pallas"
+    want_pallas = (impl == "pallas"
+                   or (impl == "auto" and nk >= AUTO_PALLAS_MIN_LEN
+                       and _on_tpu()))
+    use_pallas = (want_pallas
                   and (deterministic or dropout_rate == 0.0)
                   and nq == nk)
     if use_pallas:
