@@ -176,12 +176,14 @@ def bench_reference_torch(cfg: Config, seed: int = 0) -> float:
         opt.step()
 
     step()  # warmup
-    n = 3
-    t0 = time.perf_counter()
-    for _ in range(n):
+    # best-of-N: robust to transient host contention (gives the baseline
+    # its best case, keeping vs_baseline conservative)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
         step()
-    per_step = (time.perf_counter() - t0) / n
-    return per_step * (B / bt)
+        times.append(time.perf_counter() - t0)
+    return min(times) * (B / bt)
 
 
 def main():

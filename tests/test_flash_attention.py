@@ -49,6 +49,25 @@ def test_flash_non_multiple_length():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_gradient_ragged_batch():
+    """Pallas backward kernels vs XLA reference grads, ragged lengths,
+    non-block-multiple sequence."""
+    q, k, v = _rand(3, 2, 200, 32, seed=7)
+    lengths = jnp.array([200, 130, 1])
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.masked_flash_attention(q, k, v, lengths) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fa._attn_reference(q, k, v, lengths) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   rtol=1e-4)
+
+
 def test_flash_gradient_via_reference_vjp():
     q, k, v = _rand(1, 1, 128, 16, seed=3)
     lengths = jnp.array([90])

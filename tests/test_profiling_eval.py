@@ -24,6 +24,36 @@ def test_step_timer():
     assert abs(s["data_frac"] + s["step_frac"] - 1.0) < 1e-6
 
 
+def test_predict_cli(tmp_path):
+    from paths_tpu.cli.predict import main as predict_main
+    from paths_tpu.cli.train import main as train_main
+    from paths_tpu.data.synthetic import (
+        make_synthetic_metadata,
+        make_synthetic_store,
+    )
+    from test_train_loop import tiny_train_config
+
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp, num_epochs=1)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=8,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    mdir = os.path.join(tmp, "model")
+    os.makedirs(mdir)
+    cfg.save(mdir)
+    train_main(["-m", mdir, "--no-wandb"])
+
+    out_csv = os.path.join(tmp, "preds.csv")
+    rows = predict_main(["-m", mdir, "--split", "test", "-o", out_csv])
+    lines = open(out_csv).read().splitlines()
+    assert lines[0] == "slide_id,risk,hazard_0,hazard_1"
+    assert len(lines) == len(rows) + 1 and len(rows) >= 1
+    # risk equals -sum cumprod(1-h)
+    _, risk, h0, h1 = lines[1].split(",")
+    s = np.cumprod([1 - float(h0), 1 - float(h1)])
+    assert abs(float(risk) + s.sum()) < 1e-4
+
+
 def test_evaluate_cli(tmp_path):
     from paths_tpu.cli.train import main as train_main
     from paths_tpu.cli.evaluate import main as eval_main
