@@ -94,6 +94,10 @@ class Config:
 
     root_name: str = ""
 
+    # optional global gradient-norm clip (reference has none; useful at
+    # production scale). None disables.
+    clip_grad_norm: Optional[float] = None
+
     hipt_splits: bool = False
     hipt_val_proportion: float = 0.0
     # directory holding the HIPT split CSVs (default: ./data/splits, the

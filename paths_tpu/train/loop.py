@@ -38,7 +38,16 @@ from paths_tpu.train.state import load_state, save_state
 
 def make_optimizer(config: Config):
     """AdamW with injected (per-epoch mutable) learning rate — torch
-    AdamW + ExponentialLR semantics (`train.py:49-50`, `config.py:130-131`)."""
+    AdamW + ExponentialLR semantics (`train.py:49-50`, `config.py:130-131`).
+    Optional global grad-norm clipping via `config.clip_grad_norm`."""
+    if config.clip_grad_norm:
+        opt = optax.inject_hyperparams(
+            lambda learning_rate, weight_decay, max_norm: optax.chain(
+                optax.clip_by_global_norm(max_norm),
+                optax.adamw(learning_rate, weight_decay=weight_decay)))(
+            learning_rate=config.lr, weight_decay=config.weight_decay,
+            max_norm=config.clip_grad_norm)
+        return opt
     return optax.inject_hyperparams(optax.adamw)(
         learning_rate=config.lr, weight_decay=config.weight_decay)
 

@@ -114,6 +114,31 @@ def test_heatmap_end_to_end(tmp_path):
     assert os.path.isfile(result) and os.path.getsize(result) > 1000
 
 
+def test_heatmap_cli(tmp_path):
+    """The heatmap CLI surface: config dir + checkpoint -> PDF."""
+    import jax
+
+    from paths_tpu.cli.heatmap import main
+    from paths_tpu.train.state import save_state
+
+    path, img, blob = slide_file(tmp_path)
+    cfg = small_cfg()
+    mdir = os.path.join(str(tmp_path), "model")
+    os.makedirs(mdir)
+    # heatmap CLI hard-codes patch_embed_dim to the encoder dim; use a
+    # config matching kaiko-vits16 (384) but tiny transformer
+    cfg.model_config.patch_embed_dim = 384
+    cfg.save(mdir)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    save_state(mdir, params)
+
+    out = os.path.join(str(tmp_path), "hm_cli.pdf")
+    main(["-m", mdir, "-s", path, "-o", out, "--encoder", "kaiko-vits16",
+          "--no-camelyon", "--tissue-threshold", "0.05",
+          "--default-power", "40"])
+    assert os.path.isfile(out) and os.path.getsize(out) > 1000
+
+
 def test_camelyon_xml_parsing(tmp_path):
     xml = """<?xml version="1.0"?>
 <ASAP_Annotations>

@@ -113,6 +113,32 @@ def test_early_stopping_saves_best(ds):
     assert os.path.isfile(os.path.join(mdir, "model.npz"))
 
 
+def test_grad_clipping(ds):
+    import jax
+    import jax.numpy as jnp
+
+    from paths_tpu.models.recursive import recursive_init
+    from paths_tpu.train.loop import make_optimizer
+
+    tmp, cfg, train, val, test = ds
+    cfg.clip_grad_norm = 1e-4  # absurdly tight: updates must shrink
+    tx = make_optimizer(cfg)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(lambda x: jnp.ones_like(x) * 100.0, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # clipped global update magnitude bounded by lr * something tiny
+    gn = float(jnp.sqrt(sum(jnp.sum(u * u)
+                            for u in jax.tree_util.tree_leaves(updates))))
+    assert gn < 1.0
+
+    # end-to-end: still trains with clipping active
+    cfg.num_epochs = 1
+    stats = train_loop(cfg, os.path.join(tmp, "m_clip"), train, val, test,
+                       mesh=make_mesh(1), verbose=False)
+    assert np.isfinite(stats["train_loss"][1])
+
+
 def test_train_bf16_compute(ds):
     """bfloat16 compute path: finite losses, fp32 params maintained."""
     import jax
