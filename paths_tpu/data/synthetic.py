@@ -7,7 +7,6 @@ level doubles the grid, reference `preprocess/preprocess.py` geometry).
 """
 from __future__ import annotations
 
-import io
 import os
 import zipfile
 from typing import List, Optional, Sequence

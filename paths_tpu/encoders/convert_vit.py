@@ -19,7 +19,7 @@ from typing import Mapping
 import jax.numpy as jnp
 import numpy as np
 
-from paths_tpu.encoders.vit import ViTSpec, vit_init
+from paths_tpu.encoders.vit import ViTSpec
 from paths_tpu.nn.core import Static
 
 

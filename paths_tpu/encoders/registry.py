@@ -17,6 +17,13 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from paths_tpu.encoders import transforms as T
+from paths_tpu.encoders import vit
+from paths_tpu.encoders.convert_vit import vit_from_torch_file
+from paths_tpu.encoders.resnet import resnet_from_torchvision
+from paths_tpu.encoders.transforms import TransformSpec
+from paths_tpu.encoders.vit import stack_vit_blocks, vit_init
+
 # Module-level jitted forwards taking params as ARGUMENTS. Never close
 # params over a jitted function: the weights become embedded HLO constants
 # (~1.2 GB for ViT-L), which this environment's size-limited remote
@@ -47,13 +54,6 @@ def _resnet_encode(params, images, tspec, compute_dtype):
 
     x = apply_transform(_to_float01(images), tspec)
     return resnet_apply(params, x, compute_dtype=compute_dtype)
-
-from paths_tpu.encoders import transforms as T
-from paths_tpu.encoders import vit
-from paths_tpu.encoders.convert_vit import vit_from_torch_file
-from paths_tpu.encoders.resnet import resnet_apply, resnet_from_torchvision
-from paths_tpu.encoders.transforms import TransformSpec, apply_transform
-from paths_tpu.encoders.vit import ViTSpec, stack_vit_blocks, vit_apply, vit_init
 
 _VIT_SPECS = {
     "uni": (vit.UNI, T.UNI_TRANSFORM),

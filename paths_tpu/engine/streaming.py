@@ -24,7 +24,7 @@ Equivalence with the fused engine is tested to float tolerance
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

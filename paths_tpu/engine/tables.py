@@ -18,7 +18,7 @@ fallback path can address rows directly.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,10 +22,9 @@ from __future__ import annotations
 import math
 import traceback
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from paths_tpu.data.feature_store import FeatureStore

@@ -18,7 +18,7 @@ from typing import Callable, List, Optional, Tuple
 import numpy as np
 
 from paths_tpu.config import Config
-from paths_tpu.data.raw_slide import RawSlide, encode_bag, load_raw_slide
+from paths_tpu.data.raw_slide import encode_bag, load_raw_slide
 from paths_tpu.models.recursive import recursive_apply
 
 
