@@ -62,8 +62,11 @@ class SlidePyramid:
         for lvl in range(1, self.num_levels):
             grid = np.asarray(self.store.load(self.slide_id, powers[lvl]),
                               np.float32)
-            tables.append(build_level_table(
-                grid, min_rows=self.level_min_rows[lvl]))
+            # a table can never need more fallback rows than it has grid
+            # cells (keep-all configs would otherwise request 4^depth * n0)
+            min_rows = min(self.level_min_rows[lvl],
+                           grid.shape[0] * grid.shape[1])
+            tables.append(build_level_table(grid, min_rows=min_rows))
         self._tables = tables
 
     def _materialize_level0(self) -> None:

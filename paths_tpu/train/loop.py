@@ -178,6 +178,10 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
     update, evaluate = make_step_fns(config, tx)
 
     if streaming:
+        assert mesh_size == 1, (
+            "engine='streaming' currently runs single-device (the host "
+            "gather loop is not mesh-sharded yet); use engine='fused' for "
+            "data-parallel training or set mesh_shape=[1]")
         from paths_tpu.engine.streaming import StreamingEngine
 
         eng = StreamingEngine(config)

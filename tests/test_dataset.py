@@ -145,6 +145,33 @@ def test_iterate_batches_shuffle_determinism(synth):
                for x, y in zip(a, c))
 
 
+def test_keep_all_topk_dataset(tmp_path):
+    """top_k_patches=-1 (keep all) through the dataset + engine path; the
+    table row bound must cap at the grid size, not 4^depth * n0."""
+    import jax
+
+    from paths_tpu.engine.hierarchy import end2end_loss
+    from paths_tpu.models.recursive import recursive_init
+
+    tmp = str(tmp_path)
+    cfg = tiny_config(tmp)
+    cfg.top_k_patches = [-1, 2]
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=4,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    ds = load_splits([1.0, 0.0, 0.0], seed=0, config=cfg)[0]
+    # table rows stay grid-bounded per slide
+    for s in ds.slides:
+        t = s.tables[0]
+        assert t["fts"].shape[0] <= t["index"].size
+
+    bag0, tables, labels = collate_batch(ds, [0, 1], level0_bucket=8,
+                                         row_bucket=16, grid_bucket=4)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    loss, _ = end2end_loss(params, cfg, bag0, tables, labels)
+    assert np.isfinite(float(loss))
+
+
 def test_subtype_task_labels(tmp_path):
     tmp = str(tmp_path)
     cfg = tiny_config(tmp, task="subtype_classification",
