@@ -137,6 +137,13 @@ class Config:
             assert self.model_config.hierarchical_ctx, (
                 "If LSTM mode is enabled, hierarchical context must be enabled."
             )
+        if self.magnification_factor != 2:
+            # the preprocessed-path recursion expands each patch into its
+            # four x2 quadrant children; the reference has the same
+            # constraint hard-coded (slide.py:305-315, utils.py:261)
+            print(f"WARNING: magnification_factor={self.magnification_factor}"
+                  " is only honored by the raw-slide path; the preprocessed "
+                  "hierarchy is fixed at x2 (as in the reference)")
 
     # ------------------------------------------------------------------ I/O
 
