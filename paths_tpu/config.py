@@ -106,11 +106,11 @@ class Config:
     # --- TPU-native additions (absent from reference) ---
     # dtype used for matmuls/attention ("float32" or "bfloat16"); params are fp32
     compute_dtype: str = "float32"
-    # "xla" (default): XLA's fused attention — measured equal-or-faster
-    # than the custom kernel inside the full model up to 8k-patch bags.
-    # "pallas": the masked flash-attention kernel (O(block) memory instead
-    # of an N x N score buffer) for bags beyond what XLA's buffer allows.
-    # "auto": pallas above 4096 keys.
+    # "xla" (default): XLA's fused attention. "pallas": the masked
+    # flash-attention kernel (O(block) memory; isolated it is 16-23x
+    # faster than XLA at 8k+ keys in bf16, but full-N row residency can
+    # exceed v5e VMEM inside large jitted programs). "auto": pallas only
+    # inside the safe 4096..6144-key window.
     attention_impl: str = "xla"
     # dtype for feature tables / bags in HBM ("float32" or "bfloat16";
     # bf16 halves HBM residency and host->device traffic)

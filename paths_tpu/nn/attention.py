@@ -20,12 +20,14 @@ import jax.numpy as jnp
 from paths_tpu.nn.core import Static, dropout, linear_init
 from paths_tpu.ops.masking import NEG_INF
 
-# Bag length above which "auto" switches to the pallas flash kernel.
-# Interleaved steady-state measurements on v5e (dim 128, 4 heads): at
-# N=4096 the two paths are equal (~6ms, B=2 f32); at N=8192/B=4/bf16 the
-# XLA path's N^2 score buffer (2.1 GB) collapses to 453ms while the
-# flash kernel stays at 28.5ms (16x). Crossover sits between those.
+# "auto" engages the pallas flash kernel inside this bag-length window.
+# Lower bound: below ~4096 keys XLA matches the kernel (~6ms at N=4096).
+# Upper bound: inside a larger jitted program the kernels' full-N row
+# residency can exceed v5e's 16MB scoped VMEM past ~6k keys (isolated
+# calls run fine to 8k+, where the kernel is 16-23x faster than XLA);
+# explicit impl="pallas" bypasses the cap for isolated/expert use.
 AUTO_PALLAS_MIN_LEN = 4096
+AUTO_PALLAS_MAX_LEN = 6144
 
 
 def _on_tpu() -> bool:
@@ -87,9 +89,14 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
     k = _split_heads(proj(params["k"], key_), h)    # B,H,Nk,hd
     v = _split_heads(proj(params["v"], value), h)
 
-    want_pallas = (impl == "pallas"
-                   or (impl == "auto" and nk >= AUTO_PALLAS_MIN_LEN
-                       and _on_tpu()))
+    # f32 rows are 2x bf16: the kernels hold full-N k/v (or q/do) rows in
+    # VMEM, so f32 fits v5e's 16MB scoped VMEM only up to ~6k keys (at
+    # N=8320 the forward overflows by 384KB). bf16 runs at any length.
+    f32_fits = nk <= 6144
+    is_bf16 = jnp.dtype(cd) == jnp.bfloat16
+    want_pallas = (impl == "pallas" and (is_bf16 or f32_fits)) or (
+        impl == "auto" and AUTO_PALLAS_MIN_LEN <= nk <= AUTO_PALLAS_MAX_LEN
+        and _on_tpu())
     use_pallas = (want_pallas
                   and (deterministic or dropout_rate == 0.0)
                   and nq == nk)
@@ -99,7 +106,10 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
         lengths = (jnp.sum(key_valid, axis=-1).astype(jnp.int32)
                    if key_valid is not None
                    else jnp.full((b,), nk, jnp.int32))
-        ctx = masked_flash_attention(q, k, v, lengths)
+        # measured: bf16 (256,512) ~3x faster than (128,128) at N=8192;
+        # f32 (length-gated above) takes the conservative blocks
+        bq, bk = (256, 512) if is_bf16 else (128, 128)
+        ctx = masked_flash_attention(q, k, v, lengths, bq, bk)
     else:
         scale = 1.0 / math.sqrt(d // h)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
