@@ -70,12 +70,17 @@ def select_children(bag: PatchBag, out: dict, k: int, patch_size: int) -> dict:
     ctx_patch = jnp.concatenate(
         [bag.ctx_patch, out["ctx_patch"][:, :, None]], axis=2)
 
-    # masked top-K (slide.py:294-301); k = min(K, N) is static
-    if k == -1 or k >= n:
+    # masked top-K (slide.py:294-301); k = min(K, N) is static. Only
+    # k == -1 ("keep all", reference never calls topk) preserves bag
+    # order; any finite K goes through topk even when K >= N, because
+    # the reference reorders kept patches by descending importance and
+    # 1D positional encodings are order-sensitive (slide.py:294-301).
+    if k == -1:
         k = n
         idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
         kvalid = bag.mask
     else:
+        k = min(k, n)
         idx, kvalid = masked_topk(out["importance"], bag.mask, k)
 
     kept_locs = jnp.take_along_axis(bag.locs // patch_size, idx[..., None], axis=1)

@@ -20,14 +20,13 @@ import jax.numpy as jnp
 from paths_tpu.nn.core import Static, dropout, linear_init
 from paths_tpu.ops.masking import NEG_INF
 
-# "auto" engages the pallas flash kernel inside this bag-length window.
-# Lower bound: below ~4096 keys XLA matches the kernel (~6ms at N=4096).
-# Upper bound: inside a larger jitted program the kernels' full-N row
-# residency can exceed v5e's 16MB scoped VMEM past ~6k keys (isolated
-# calls run fine to 8k+, where the kernel is 16-23x faster than XLA);
-# explicit impl="pallas" bypasses the cap for isolated/expert use.
+# "auto" engages the pallas flash kernel at and above this bag length;
+# below ~4096 keys XLA's fused attention matches the kernel (~6ms at
+# N=4096). There is no upper bound: K/V stream through VMEM one block per
+# grid step (O(block) residency at any N and dtype), and at N=8192 the
+# kernel measures 32x faster than XLA on v5e — while at N=16384 XLA's
+# materialized f32 score matrix cannot even fit in HBM.
 AUTO_PALLAS_MIN_LEN = 4096
-AUTO_PALLAS_MAX_LEN = 6144
 
 
 def _on_tpu() -> bool:
@@ -65,22 +64,26 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
         (inverse of torch's key_padding_mask)
     :param impl: "xla", "pallas", or "auto" (pallas for self-attention
         over >= AUTO_PALLAS_MIN_LEN keys, where the XLA path's N x N
-        score materialization becomes bandwidth-bound — measured 15-22x
-        slower on v5e at N >= 2k). The pallas kernel
-        (`paths_tpu/kernels/flash_attention.py`) requires a PREFIX mask
-        (valid keys first — guaranteed for compacted PatchBags) and falls
-        back to XLA when attention-weight dropout is active.
+        score materialization becomes bandwidth-bound — measured 32x
+        slower on v5e at N=8k and HBM-infeasible at 16k). The pallas
+        kernel (`paths_tpu/kernels/flash_attention.py`) requires a PREFIX
+        mask (valid keys first — guaranteed for compacted PatchBags) and
+        falls back to XLA when attention-weight dropout is active.
     :return: (B, Nq, D)
 
-    If Nk == 0 the result is all-zero, matching torch's behavior for
-    zero-length memory (the reference aggregator feeds an empty encoder
-    sequence, `model/paths.py:110-112`).
+    If Nk == 0 the attention context is zero, so the result is the
+    broadcast out-projection bias — torch's empirical behavior for
+    zero-length memory (out_proj applied to a zero context). The
+    reference aggregator feeds an empty encoder sequence
+    (`model/paths.py:110-112`), so trained checkpoints carry a nonzero
+    cross-attn out_proj.bias that must survive conversion.
     """
     h = params["num_heads"].value
     b, nq, d = query.shape
     nk = key_.shape[1]
     if nk == 0:
-        return jnp.zeros((b, nq, d), query.dtype)
+        ob = params["out"]["b"].astype(query.dtype)
+        return jnp.broadcast_to(ob, (b, nq, d))
 
     cd = compute_dtype or query.dtype
     proj = lambda p, x: (x.astype(cd) @ p["w"].astype(cd) + p["b"].astype(cd))
@@ -89,14 +92,9 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
     k = _split_heads(proj(params["k"], key_), h)    # B,H,Nk,hd
     v = _split_heads(proj(params["v"], value), h)
 
-    # f32 rows are 2x bf16: the kernels hold full-N k/v (or q/do) rows in
-    # VMEM, so f32 fits v5e's 16MB scoped VMEM only up to ~6k keys (at
-    # N=8320 the forward overflows by 384KB). bf16 runs at any length.
-    f32_fits = nk <= 6144
     is_bf16 = jnp.dtype(cd) == jnp.bfloat16
-    want_pallas = (impl == "pallas" and (is_bf16 or f32_fits)) or (
-        impl == "auto" and AUTO_PALLAS_MIN_LEN <= nk <= AUTO_PALLAS_MAX_LEN
-        and _on_tpu())
+    want_pallas = impl == "pallas" or (
+        impl == "auto" and nk >= AUTO_PALLAS_MIN_LEN and _on_tpu())
     use_pallas = (want_pallas
                   and (deterministic or dropout_rate == 0.0)
                   and nq == nk)
@@ -107,7 +105,7 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
                    if key_valid is not None
                    else jnp.full((b,), nk, jnp.int32))
         # measured: bf16 (256,512) ~3x faster than (128,128) at N=8192;
-        # f32 (length-gated above) takes the conservative blocks
+        # f32 blocks stay smaller (f32 tiles are 2x the VMEM per block)
         bq, bk = (256, 512) if is_bf16 else (128, 128)
         ctx = masked_flash_attention(q, k, v, lengths, bq, bk)
     else:

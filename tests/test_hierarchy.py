@@ -224,6 +224,33 @@ def test_bag_smaller_than_k():
                                atol=ATOL)
 
 
+def test_bag_smaller_than_k_1d_posenc_order():
+    """When a bag has n <= K patches, the reference still topk-sorts the
+    kept patches by descending importance (slide.py:294-301) — it never
+    short-circuits to bag order. With 1D positional encodings that order
+    is observable in the logits, so this test fails if the engine keeps
+    bag order for K >= n (ADVICE.md round-1 medium)."""
+    cfg = small_config(pos_encoding_mode="1d")
+    cfg.num_levels = 2
+    cfg.top_k_patches = [50]  # K far above every bag size
+    d = cfg.model_config.patch_embed_dim
+    rng = np.random.default_rng(17)
+    slide_grids = [make_grids(rng, [(2, 3), (4, 6)], d, bg_fraction=0.0),
+                   make_grids(rng, [(2, 2), (4, 4)], d, bg_fraction=0.0)]
+    ref_logits, ref_batches, outs = run_both(slide_grids, cfg)
+    for lvl in range(cfg.num_levels):
+        ref_locs = ref_batches[lvl]["locs"].numpy()
+        num = ref_batches[lvl]["num_ims"].numpy()
+        our_locs = np.asarray(outs[lvl]["bag"].locs)
+        our_mask = np.asarray(outs[lvl]["bag"].mask)
+        for j in range(len(slide_grids)):
+            np.testing.assert_array_equal(
+                our_locs[j][our_mask[j]], ref_locs[j][: num[j]],
+                err_msg=f"bag order mismatch at level {lvl} slide {j}")
+    np.testing.assert_allclose(np.asarray(outs[-1]["logits"]), ref_logits,
+                               atol=ATOL)
+
+
 def test_end2end_loss_and_grad():
     """Loss is finite and grads flow into every level's processor AND the
     shared LSTM through the recursion."""

@@ -93,6 +93,39 @@ def test_aggregator_parity_empty_cond():
         np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=ATOL)
 
 
+def test_aggregator_parity_empty_cond_nonzero_out_proj_bias():
+    """Trained checkpoints have nonzero cross-attn out_proj.bias (it
+    receives gradient); with the reference's empty encoder sequence, torch
+    MHA over zero-length memory still emits that bias. Fresh torch init
+    zeroes the bias, so the plain empty-cond test cannot catch a
+    converted-checkpoint regression here (ADVICE.md round-1 high)."""
+    torch.manual_seed(4)
+    input_dim, model_dim, heads, layers = 12, 16, 2, 2
+    tagg = TorchAggregator(input_dim, model_dim, heads, layers).eval()
+    with torch.no_grad():
+        for layer in tagg.transformer.decoder.layers:
+            layer.multihead_attn.out_proj.bias.normal_()
+    sd = {"x." + k: v for k, v in to_numpy_sd(tagg).items()}
+    jagg = aggregator_from_torch(sd, "x", heads, layers)
+
+    rng = np.random.default_rng(6)
+    b, n = 2, 5
+    fts = rng.normal(size=(b, n, input_dim)).astype(np.float32)
+    locs = rng.integers(0, 30, size=(b, n, 2))
+    num_ims = np.array([5, 3])
+    mask = np.arange(n)[None] < num_ims[:, None]
+    fts = fts * mask[..., None]
+
+    with torch.no_grad():
+        xs_t = tagg.encode(torch.tensor(fts), torch.tensor(locs), "2d")
+        out_t = tagg(torch.zeros(b, 0, model_dim), xs_t, None,
+                     torch.tensor(num_ims))
+    xs_j = pos_encode_2d(jagg, jnp.asarray(fts), jnp.asarray(locs))
+    out_j = aggregator_apply(jagg, jnp.zeros((b, 0, model_dim)), xs_j,
+                             None, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=ATOL)
+
+
 def test_aggregator_parity_nonempty_cond():
     """Exercise the encoder + cross-attention path (conditional sequence)."""
     torch.manual_seed(2)
