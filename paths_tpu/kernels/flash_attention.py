@@ -7,9 +7,18 @@ SURVEY.md §5 long-context note). This kernel computes softmax attention
 with a key-padding mask in O(block) VMEM via the online-softmax recurrence,
 so bag length is bounded by HBM rather than by an N x N score matrix.
 
+Blocking: every pass runs on a 4-D grid whose innermost dimension walks
+the contraction axis (key blocks for forward/dq, query blocks for dk/dv)
+while accumulators live in VMEM scratch that persists across grid steps.
+K/V (and in the dkv pass, Q/dO) therefore stream through VMEM one
+(block, head_dim) tile at a time — resident VMEM is O(block), independent
+of sequence length, for both directions. Key blocks entirely beyond a
+batch row's valid length are skipped (`pl.when`), so ragged bags don't pay
+for their padding.
+
 Both directions are Pallas kernels under `jax.custom_vjp`: the forward
-saves per-row log-sum-exp, and the backward computes dq (loop over key
-blocks) and dk/dv (loop over query blocks) with the standard
+saves per-row log-sum-exp, and the backward computes dq (stream over key
+blocks) and dk/dv (stream over query blocks) with the standard
 flash-attention recurrence — no N x N buffer in either pass. Enabled via
 `Config.attention_impl` ("pallas"/"auto"); outputs and gradients agree
 with the XLA reference to float tolerance (tests/test_flash_attention.py).
@@ -29,6 +38,9 @@ NEG_INF = -1e30
 # set True to run the kernel in the Pallas interpreter (CPU tests)
 INTERPRET = False
 
+_DIMS4 = pltpu.CompilerParams(dimension_semantics=(
+    "parallel", "parallel", "parallel", "arbitrary"))
+
 
 def _attn_reference(q, k, v, lengths):
     """XLA reference: softmax(q k^T / sqrt(d)) v with key-padding mask.
@@ -43,120 +55,144 @@ def _attn_reference(q, k, v, lengths):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k,
-                  n_keys, sm_scale):
-    # grid: (B, H, num_q_blocks); refs are blocked to
-    # q (1, 1, block_q, d), k/v (1, 1, n_keys, d)
-    q = q_ref[0, 0].astype(jnp.float32) * sm_scale          # (bq, d)
-    bq, d = q.shape
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  acc_ref, m_ref, l_ref, *, block_k, num_kb, sm_scale):
+    # grid: (B, H, num_q_blocks, num_k_blocks) — kb innermost; refs are
+    # blocked to q/o (1,1,bq,d), k/v (1,1,bk,d); accumulators persist in
+    # VMEM scratch across the kb sweep
+    kb = pl.program_id(3)
     length = len_ref[pl.program_id(0)]
 
-    acc = jnp.zeros((bq, d), jnp.float32)
-    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
-    num_kb = n_keys // block_k
-
-    def body(kb, carry):
-        acc, m, l = carry
-        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(kb * block_k < length)
+    def _compute():
+        q = q_ref[0, 0]                                     # (bq, d)
+        k = k_ref[0, 0]                                     # (bk, d)
+        v = v_ref[0, 0]
+        bq = q.shape[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (bq, bk)
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale                                    # (bq, bk)
         key_idx = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1)
         s = jnp.where(key_idx < length, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        m_prev, l_prev = m_ref[...], l_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[...] = m_new
+        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return acc, m_new, l
 
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m, l))
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
-    # log-sum-exp per query row, consumed by the backward kernels; kept
-    # (bq, 1)-shaped so the block layout satisfies TPU tiling rules
-    lse_ref[0, 0] = m + jnp.log(l_safe)
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        l_safe = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        # log-sum-exp per query row, consumed by the backward kernels; kept
+        # (bq, 1)-shaped so the block layout satisfies TPU tiling rules
+        lse_ref[0, 0] = m_ref[...] + jnp.log(l_safe)
 
 
 def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, *, block_k, n_keys, sm_scale):
-    # grid: (B, H, num_q_blocks); dq for one q block, looping over k
-    q = q_ref[0, 0].astype(jnp.float32)                     # (bq, d)
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]                                     # (bq, 1)
-    delta = delta_ref[0, 0]                                 # (bq, 1)
-    bq, d = q.shape
+                         delta_ref, dq_ref, dq_acc, *, block_k, num_kb,
+                         sm_scale):
+    # grid: (B, H, num_q_blocks, num_k_blocks) — dq accumulates in scratch
+    # while K/V stream through one block at a time
+    kb = pl.program_id(3)
     length = len_ref[pl.program_id(0)]
-    num_kb = n_keys // block_k
 
-    def body(kb, dq):
-        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(kb * block_k < length)
+    def _compute():
+        q = q_ref[0, 0]                                     # (bq, d)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]                                 # (bq, 1)
+        delta = delta_ref[0, 0]                             # (bq, 1)
+        k = k_ref[0, 0]                                     # (bk, d)
+        v = v_ref[0, 0]
+        bq = q.shape[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale
         key_idx = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1)
         s = jnp.where(key_idx < length, s, NEG_INF)
         p = jnp.exp(s - lse)                                # (bq, bk)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0, 0] = (dq * sm_scale).astype(dq_ref.dtype)
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        dq_ref[0, 0] = (dq_acc[...] * sm_scale).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref, *, block_q, n_queries,
-                          sm_scale):
-    # grid: (B, H, num_k_blocks); dk/dv for one k block, looping over q
-    k = k_ref[0, 0].astype(jnp.float32)                     # (bk, d)
-    v = v_ref[0, 0].astype(jnp.float32)
-    bk, d = k.shape
+                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          block_q, num_qb, sm_scale):
+    # grid: (B, H, num_k_blocks, num_q_blocks) — qb innermost; dk/dv for
+    # one k block accumulate in scratch while Q/dO stream through
     kb = pl.program_id(2)
+    qb = pl.program_id(3)
     length = len_ref[pl.program_id(0)]
-    key_idx = kb * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-    key_live = key_idx < length                             # (1, bk)
-    num_qb = n_queries // block_q
+    block_k = dk_acc.shape[0]
 
-    def body(qb, carry):
-        dk, dv = carry
-        q = q_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]    # (bq, 1)
-        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
+    @pl.when(qb == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    # a key block entirely beyond the valid length has zero gradient
+    @pl.when(kb * block_k < length)
+    def _compute():
+        k = k_ref[0, 0]                                     # (bk, d)
+        v = v_ref[0, 0]
+        q = q_ref[0, 0]                                     # (bq, d)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]                                 # (bq, 1)
+        delta = delta_ref[0, 0]
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
-        s = jnp.where(key_live, s, NEG_INF)                 # (bq, bk)
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        s = jnp.where(key_idx < length, s, NEG_INF)         # (bq, bk)
         p = jnp.exp(s - lse)
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        return dk, dv
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    dk, dv = jax.lax.fori_loop(
-        0, num_qb, body, (jnp.zeros((bk, d), jnp.float32),
-                          jnp.zeros((bk, d), jnp.float32)))
-    dk_ref[0, 0] = (dk * sm_scale).astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    @pl.when(qb == num_qb - 1)
+    def _finalize():
+        dk_ref[0, 0] = (dk_acc[...] * sm_scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _padded(q, k, v, block_q, block_k, *extra):
+def _lcm_pad(q, k, v, block_q, block_k, *extra):
     n = q.shape[2]
-    n_pad = -n % max(block_q, block_k)
+    n_pad = -n % math.lcm(block_q, block_k)
     if n_pad:
         pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
@@ -171,33 +207,42 @@ def _flash_forward(q, k, v, lengths, *, block_q=256, block_k=512):
 
     # pad sequence to block multiples (padded keys are masked by `lengths`,
     # padded queries produce garbage rows that callers never read)
-    q, k, v = _padded(q, k, v, block_q, block_k)
+    q, k, v = _lcm_pad(q, k, v, block_q, block_k)
     np_ = q.shape[2]
+    num_kb = np_ // block_k
 
-    grid = (b, h, np_ // block_q)
+    grid = (b, h, np_ // block_q, num_kb)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, n_keys=np_,
+        functools.partial(_flash_kernel, block_k=block_k, num_kb=num_kb,
                           sm_scale=sm_scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda b, h, qb, *_: (b, h, qb, 0)),
-                pl.BlockSpec((1, 1, np_, d), lambda b, h, qb, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, np_, d), lambda b, h, qb, *_: (b, h, 0, 0)),
+                             lambda b, h, qb, kb, *_: (b, h, qb, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b, h, qb, kb, *_: (b, h, kb, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b, h, qb, kb, *_: (b, h, kb, 0)),
             ],
             out_specs=(
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda b, h, qb, *_: (b, h, qb, 0)),
+                             lambda b, h, qb, kb, *_: (b, h, qb, 0)),
                 pl.BlockSpec((1, 1, block_q, 1),
-                             lambda b, h, qb, *_: (b, h, qb, 0)),
+                             lambda b, h, qb, kb, *_: (b, h, qb, 0)),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+            ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct((b, h, np_, 1), jnp.float32),
         ),
+        compiler_params=_DIMS4,
         interpret=INTERPRET,
     )(lengths.astype(jnp.int32), q, k, v)
     return out[:, :, :n], lse[:, :, :n, 0]
@@ -210,48 +255,58 @@ def _flash_backward(q, k, v, lengths, out, lse, g, *, block_q=256,
     sm_scale = 1.0 / math.sqrt(d)
     lengths = lengths.astype(jnp.int32)
 
-    q, k, v, g_p, out_p = _padded(q, k, v, block_q, block_k, g, out)
+    q, k, v, g_p, out_p = _lcm_pad(q, k, v, block_q, block_k, g, out)
     np_ = q.shape[2]
     pad3 = [(0, 0), (0, 0), (0, np_ - n)]
     lse_p = jnp.pad(lse, pad3)[..., None]                     # (B, H, Np, 1)
     delta = jnp.sum(g_p.astype(jnp.float32) * out_p.astype(jnp.float32),
                     axis=-1, keepdims=True)                   # (B, H, Np, 1)
 
-    row_spec = pl.BlockSpec((1, 1, np_, d), lambda b, h, i, *_: (b, h, 0, 0))
-    vec_spec = pl.BlockSpec((1, 1, np_, 1), lambda b, h, i, *_: (b, h, 0, 0))
-    blk_spec = pl.BlockSpec((1, 1, block_q, d),
-                            lambda b, h, i, *_: (b, h, i, 0))
-    blkv_spec = pl.BlockSpec((1, 1, block_q, 1),
-                             lambda b, h, i, *_: (b, h, i, 0))
+    num_qb, num_kb = np_ // block_q, np_ // block_k
+
+    qblk = pl.BlockSpec((1, 1, block_q, d),
+                        lambda b, h, qb, kb, *_: (b, h, qb, 0))
+    qvec = pl.BlockSpec((1, 1, block_q, 1),
+                        lambda b, h, qb, kb, *_: (b, h, qb, 0))
+    kblk = pl.BlockSpec((1, 1, block_k, d),
+                        lambda b, h, qb, kb, *_: (b, h, kb, 0))
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, n_keys=np_,
-                          sm_scale=sm_scale),
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k,
+                          num_kb=num_kb, sm_scale=sm_scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, h, np_ // block_q),
-            in_specs=[blk_spec, row_spec, row_spec, blk_spec, blkv_spec,
-                      blkv_spec],
-            out_specs=blk_spec,
+            grid=(b, h, num_qb, num_kb),
+            in_specs=[qblk, kblk, kblk, qblk, qvec, qvec],
+            out_specs=qblk,
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=_DIMS4,
         interpret=INTERPRET,
     )(lengths, q, k, v, g_p, lse_p, delta)
 
-    kblk_spec = pl.BlockSpec((1, 1, block_k, d),
-                             lambda b, h, i, *_: (b, h, i, 0))
+    # dkv grid: k blocks outer, q blocks inner
+    kblk2 = pl.BlockSpec((1, 1, block_k, d),
+                         lambda b, h, kb, qb, *_: (b, h, kb, 0))
+    qblk2 = pl.BlockSpec((1, 1, block_q, d),
+                         lambda b, h, kb, qb, *_: (b, h, qb, 0))
+    qvec2 = pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, h, kb, qb, *_: (b, h, qb, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, block_q=block_q,
-                          n_queries=np_, sm_scale=sm_scale),
+                          num_qb=num_qb, sm_scale=sm_scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, h, np_ // block_k),
-            in_specs=[row_spec, kblk_spec, kblk_spec, row_spec, vec_spec,
-                      vec_spec],
-            out_specs=(kblk_spec, kblk_spec),
+            grid=(b, h, num_kb, num_qb),
+            in_specs=[qblk2, kblk2, kblk2, qblk2, qvec2, qvec2],
+            out_specs=(kblk2, kblk2),
+            scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                            pltpu.VMEM((block_k, d), jnp.float32)],
         ),
         out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        compiler_params=_DIMS4,
         interpret=INTERPRET,
     )(lengths, q, k, v, g_p, lse_p, delta)
 
@@ -265,7 +320,8 @@ def masked_flash_attention(q, k, v, lengths, block_q=256, block_k=512):
     Keys at positions >= lengths[b] are masked for every query; padded
     query rows still produce (normalized) outputs attending over valid
     keys, matching the XLA reference path. Both directions run as Pallas
-    kernels with O(block) memory — no N x N score buffer in either pass.
+    kernels with O(block) VMEM — K/V (or Q/dO) stream through one block
+    per grid step, so any N that fits in HBM is safe at any dtype.
 
     Default blocks (256, 512) measured ~3x faster than (128, 128) for the
     gradient path at N=8192 on v5e (more MXU work per VMEM round trip).
