@@ -148,17 +148,31 @@ def _ln(p, x, eps=1e-6):
             + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
-def _attn(p, x, num_heads, cd):
+def _attn(p, x, num_heads, cd, impl="xla"):
     b, n, d = x.shape
     qkv = (x.astype(cd) @ p["qkv_w"].astype(cd)) + p["qkv_b"].astype(cd)
     qkv = qkv.reshape(b, n, 3, num_heads, d // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # B,N,H,hd
-    scale = 1.0 / math.sqrt(d // num_heads)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    w = jax.nn.softmax(logits, axis=-1).astype(cd)
-    o = jnp.einsum("bhqk,bkhd->bqhd", w, v,
-                   preferred_element_type=jnp.float32).astype(cd)
+    if impl == "flash":
+        # fused online-softmax kernel: no (B,H,N,N) score materialization
+        # in HBM (the XLA path writes + rereads ~45GB of score traffic per
+        # ViT-L forward at B=256); N pads to the block inside the kernel
+        from paths_tpu.kernels.flash_attention import masked_flash_attention
+
+        lengths = jnp.full((b,), n, jnp.int32)
+        blk = min(256, 128 * -(-n // 128))
+        o = masked_flash_attention(q.transpose(0, 2, 1, 3),
+                                   k.transpose(0, 2, 1, 3),
+                                   v.transpose(0, 2, 1, 3),
+                                   lengths, blk, blk)
+        o = o.transpose(0, 2, 1, 3).astype(cd)
+    else:
+        scale = 1.0 / math.sqrt(d // num_heads)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(cd)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v,
+                       preferred_element_type=jnp.float32).astype(cd)
     o = o.reshape(b, n, d)
     return (o @ p["proj_w"].astype(cd)) + p["proj_b"].astype(cd)
 
@@ -174,8 +188,27 @@ def _mlp(p, x, swiglu, cd, gelu="exact"):
     return (h @ p["fc2_w"].astype(cd)) + p["fc2_b"].astype(cd)
 
 
-def _block(blk, x, spec, cd):
-    a = _attn(blk["attn"], _ln(blk["norm1"], x), spec.num_heads, cd)
+def _block(blk, x, spec, cd, attn_impl="xla"):
+    if attn_impl == "fused":
+        # fully-fused Pallas block: activations stay in VMEM, weights
+        # resident across the image grid (kernels/vit_fused.py)
+        from paths_tpu.kernels.vit_fused import (
+            fused_attn_block,
+            fused_mlp_block,
+        )
+
+        w = lambda a: a.astype(cd)
+        at, ml = blk["attn"], blk["mlp"]
+        x = fused_attn_block(
+            x, blk["norm1"]["scale"], blk["norm1"]["bias"], w(at["qkv_w"]),
+            at["qkv_b"], w(at["proj_w"]), at["proj_b"],
+            blk.get("ls1"), num_heads=spec.num_heads)
+        return fused_mlp_block(
+            x, blk["norm2"]["scale"], blk["norm2"]["bias"], w(ml["fc1_w"]),
+            ml["fc1_b"], w(ml["fc2_w"]), ml["fc2_b"], blk.get("ls2"),
+            exact_gelu=(spec.gelu == "exact"))
+    a = _attn(blk["attn"], _ln(blk["norm1"], x), spec.num_heads, cd,
+              impl=attn_impl)
     if spec.layer_scale:
         a = a * blk["ls1"].astype(cd)
     x = x + a
@@ -200,16 +233,20 @@ def stack_vit_blocks(params: dict) -> dict:
 
 
 def vit_apply(params: dict, images: jnp.ndarray,
-              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+              compute_dtype=jnp.bfloat16,
+              attn_impl: str = "xla") -> jnp.ndarray:
     """Encode images -> features.
 
     :param images: (B, H, W, 3) float, already preprocessed (resized /
         normalized — see `paths_tpu.preprocess.transforms`)
+    :param attn_impl: "xla" or "flash" (Pallas fused attention — TPU only)
     :return: (B, out_dim) float32 — cls token (timm token pooling), or
         cls ‖ mean(patch tokens) for Virchow2 (register tokens dropped,
         reference `image_encoder.py:13-27`)
     """
     spec: ViTSpec = params["spec"].value
+    if attn_impl == "fused" and spec.swiglu:
+        attn_impl = "xla"  # fused MLP kernel doesn't cover SwiGLU yet
     cd = compute_dtype
     b, hh, ww, _ = images.shape
     p = spec.patch_size
@@ -254,10 +291,10 @@ def vit_apply(params: dict, images: jnp.ndarray,
     blocks = params["blocks"]
     if isinstance(blocks, list):          # unrolled (parity tests)
         for blk in blocks:
-            x = _block(blk, x, spec, cd)
+            x = _block(blk, x, spec, cd, attn_impl)
     else:                                 # stacked -> scanned (production)
         def body(carry, blk):
-            return _block(blk, carry, spec, cd), None
+            return _block(blk, carry, spec, cd, attn_impl), None
 
         x, _ = jax.lax.scan(body, x, blocks)
 

@@ -1,0 +1,207 @@
+"""Fused ViT encoder-block kernels (Pallas, TPU, forward-only).
+
+The patch-encoder forward is where the preprocess throughput target lives
+(reference hot loop `preprocess/preprocess.py:94-105`). XLA's lowering of
+a ViT block materializes every intermediate in HBM: the (B, N, 3H·d) qkv
+tensor, three (B, H, N, d) transposes, the (B, H, N, N) f32 score matrix,
+and the (B, N, 4D) MLP hidden — ~4.5 GB of traffic per ViT-L block at
+B=256, which measures ~35% MFU on v5e. These kernels keep one image's
+activations (and the block's weights) resident in VMEM for the whole
+block, so per-block HBM traffic drops to read-x + write-x + weights.
+
+Two kernels per block, gridded over images with weights revisited (and
+therefore DMA'd once, staying resident across grid steps):
+
+  * `fused_attn`: LN -> qkv projection -> per-head softmax attention ->
+    out-projection -> LayerScale -> residual
+  * `fused_mlp`: LN -> fc1 -> GELU (exact erf, timm parity) -> fc2 ->
+    LayerScale -> residual, with the hidden dim chunked across an inner
+    grid axis so fc1/fc2 weight tiles fit the ~16MB VMEM budget
+
+Forward-only by design: encoders are frozen in PATHS (reference
+`model/image_encoder.py:30-86` sets eval/no-grad); training never
+differentiates through them. `vit_apply(..., block_impl="fused")` selects
+these; numerics match the XLA path to bf16 tolerance
+(tests/test_encoders.py::test_fused_block_matches_xla).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# set True to run kernels in the Pallas interpreter (CPU tests)
+INTERPRET = False
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7 — far
+    below bf16 resolution). `lax.erf` has no Pallas TPU lowering."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _layernorm(x, scale, bias, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _attn_kernel(x_ref, nsc_ref, nbi_ref, qkvw_ref, qkvb_ref, projw_ref,
+                 projb_ref, ls_ref, o_ref, *, num_heads):
+    g, n, d = x_ref.shape
+    hd = d // num_heads
+    cd = x_ref.dtype
+    x = x_ref[...].reshape(g * n, d)
+
+    y = _layernorm(x, nsc_ref[0], nbi_ref[0]).astype(cd)
+    qkv = jax.lax.dot_general(
+        y, qkvw_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(cd)  # (g·n, 3d)
+    qkv = qkv.reshape(g, n, 3 * d)
+
+    sm_scale = 1.0 / math.sqrt(hd)
+    ctx = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]                    # (g, n, hd)
+        k = qkv[:, :, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, :, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        # per-image batched matmuls; images in a group share no attention
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale                                      # (g, n, n)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx.append(jax.lax.dot_general(
+            p.astype(cd), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(cd))
+    o = jnp.concatenate(ctx, axis=-1).reshape(g * n, d)       # (g·n, d)
+
+    proj = jax.lax.dot_general(o, projw_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    proj = proj + projb_ref[0].astype(jnp.float32)
+    proj = proj * ls_ref[0].astype(jnp.float32)
+    o_ref[...] = (x.astype(jnp.float32) + proj).astype(cd).reshape(g, n, d)
+
+
+def _mlp_kernel(x_ref, nsc_ref, nbi_ref, fc1w_ref, fc1b_ref, fc2w_ref,
+                fc2b_ref, ls_ref, o_ref, y_scr, acc_scr, *, num_chunks,
+                exact_gelu):
+    g, n, d = x_ref.shape
+    cd = x_ref.dtype
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        x = x_ref[...].reshape(g * n, d)
+        y_scr[...] = _layernorm(x, nsc_ref[0], nbi_ref[0]).astype(cd)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    h = jax.lax.dot_general(y_scr[...], fc1w_ref[...],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + fc1b_ref[0].astype(jnp.float32)
+    if exact_gelu:
+        h = 0.5 * h * (1.0 + _erf(h * (1.0 / math.sqrt(2.0))))
+    else:
+        h = jax.nn.gelu(h, approximate=True)
+    acc_scr[...] += jax.lax.dot_general(h.astype(cd), fc2w_ref[...],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    @pl.when(c == num_chunks - 1)
+    def _finalize():
+        x = x_ref[...].reshape(g * n, d).astype(jnp.float32)
+        out = acc_scr[...] + fc2b_ref[0].astype(jnp.float32)
+        out = x + out * ls_ref[0].astype(jnp.float32)
+        o_ref[...] = out.astype(cd).reshape(g, n, d)
+
+
+def _row(a):
+    return a.reshape(1, -1)
+
+
+def fused_attn_block(x, norm_scale, norm_bias, qkv_w, qkv_b, proj_w, proj_b,
+                     ls, *, num_heads: int, group: int = 4):
+    """x: (B, N, D) -> LN/qkv/attention/proj/LayerScale/residual, fused.
+    `ls` may be None (no LayerScale): pass ones."""
+    b, n, d = x.shape
+    g = math.gcd(group, b)
+    if ls is None:
+        ls = jnp.ones((d,), x.dtype)
+    kernel = functools.partial(_attn_kernel, num_heads=num_heads)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, n, d), lambda i: (i, 0, 0)),
+            wspec((1, d)), wspec((1, d)),
+            wspec((d, 3 * d)), wspec((1, 3 * d)),
+            wspec((d, d)), wspec((1, d)), wspec((1, d)),
+        ],
+        out_specs=pl.BlockSpec((g, n, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(x, _row(norm_scale), _row(norm_bias), qkv_w, _row(qkv_b), proj_w,
+      _row(proj_b), _row(ls))
+
+
+def fused_mlp_block(x, norm_scale, norm_bias, fc1_w, fc1_b, fc2_w, fc2_b,
+                    ls, *, exact_gelu: bool = True, group: int = 4,
+                    num_chunks: int = 4):
+    """x: (B, N, D) -> LN/fc1/GELU/fc2/LayerScale/residual, fused. The
+    hidden dim is chunked so each step's fc1/fc2 weight tiles are
+    (D, H/nc)/(H/nc, D); chunk results accumulate in VMEM scratch."""
+    b, n, d = x.shape
+    hidden = fc1_w.shape[1]
+    g = math.gcd(group, b)
+    while hidden % num_chunks:
+        num_chunks -= 1
+    hc = hidden // num_chunks
+    if ls is None:
+        ls = jnp.ones((d,), x.dtype)
+    kernel = functools.partial(_mlp_kernel, num_chunks=num_chunks,
+                               exact_gelu=exact_gelu)
+    wspec = lambda shape, im: pl.BlockSpec(shape, im)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g, num_chunks),
+        in_specs=[
+            pl.BlockSpec((g, n, d), lambda i, c: (i, 0, 0)),
+            wspec((1, d), lambda i, c: (0, 0)),
+            wspec((1, d), lambda i, c: (0, 0)),
+            wspec((d, hc), lambda i, c: (0, c)),
+            wspec((1, hc), lambda i, c: (0, c)),
+            wspec((hc, d), lambda i, c: (c, 0)),
+            wspec((1, d), lambda i, c: (0, 0)),
+            wspec((1, d), lambda i, c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, n, d), lambda i, c: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g * n, d), x.dtype),      # ln(x), reused per chunk
+            pltpu.VMEM((g * n, d), jnp.float32),  # fc2 accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(x, _row(norm_scale), _row(norm_bias), fc1_w, _row(fc1_b), fc2_w,
+      _row(fc2_b), _row(ls))
