@@ -121,6 +121,11 @@ class Config:
     engine: str = "fused"
     # level-0 bags are padded up to a multiple of this (static-shape bucketing)
     level0_bucket: int = 256
+    # pad every batch to dataset-global shape maxima -> exactly ONE
+    # compiled shape per program per run (vs dozens of multi-minute
+    # compiles from per-batch maxima under shuffle); False falls back to
+    # per-batch bucketing
+    static_shapes: bool = True
     # data-parallel mesh size; None = use all available devices
     mesh_shape: Optional[List[int]] = None
 

@@ -185,6 +185,34 @@ class SlideDataset:
     def __len__(self) -> int:
         return len(self.slides)
 
+    def global_pads(self) -> dict:
+        """Dataset-wide shape maxima: level-0 bag width, per-level table
+        rows and grid dims. Collating every batch to these bounds the
+        whole run to ONE compiled shape per program (first compiles of the
+        full train step are minutes through a remote-compile tunnel, and
+        per-batch maxima under shuffle would produce dozens of distinct
+        shapes — the reference pads per batch, `dataset.py:206-243`, but
+        eager torch doesn't recompile). One pass over the slides; lazy
+        datasets materialize + unload each."""
+        if getattr(self, "_global_pads", None) is not None:
+            return self._global_pads
+        n0 = 0
+        rows = [0] * self.config.num_levels
+        grid_hw = [(0, 0)] * self.config.num_levels
+        for s in self.slides:
+            was_loaded = s._tables is not None
+            n0 = max(n0, s.level0[2])
+            for lvl, t in enumerate(s.tables, start=1):
+                rows[lvl] = max(rows[lvl], t["fts"].shape[0])
+                grid_hw[lvl] = (max(grid_hw[lvl][0], t["index"].shape[0]),
+                                max(grid_hw[lvl][1], t["index"].shape[1]))
+            if not (self.cache_slides or was_loaded):
+                s.unload()
+        self._global_pads = {"n0": n0, "rows": rows, "grid_hw": grid_hw}
+        return self._global_pads
+
+
+
     def labels(self, indices: Sequence[int]) -> dict:
         idx = np.asarray(indices)
         out = {
@@ -197,15 +225,35 @@ class SlideDataset:
         return out
 
 
+def union_pads(*pads: Optional[dict]) -> Optional[dict]:
+    """Elementwise max of `global_pads` dicts (so train/val/test share one
+    compiled shape per program)."""
+    pads = [p for p in pads if p is not None]
+    if not pads:
+        return None
+    out = {"n0": max(p["n0"] for p in pads),
+           "rows": [max(p["rows"][i] for p in pads)
+                    for i in range(len(pads[0]["rows"]))],
+           "grid_hw": [tuple(max(p["grid_hw"][i][j] for p in pads)
+                             for j in range(2))
+                       for i in range(len(pads[0]["grid_hw"]))]}
+    return out
+
+
 def collate_batch(dataset: SlideDataset, indices: Sequence[int],
                   level0_bucket: int = 256, row_bucket: int = 256,
-                  grid_bucket: int = 16, dtype=None):
+                  grid_bucket: int = 16, dtype=None,
+                  pads: Optional[dict] = None):
     """Collate slides into (PatchBag, [LevelTable], labels).
 
     Static-shape bucketing: the level-0 width is the batch max rounded up
     to `level0_bucket`; table rows/grid dims round to `row_bucket` /
     `grid_bucket`. Rounding bounds the number of distinct compiled shapes
     (the TPU analogue of the reference's per-batch dynamic padding).
+
+    Passing `pads` (a `SlideDataset.global_pads()` dict) replaces batch
+    maxima with dataset-wide maxima, so every batch of a run shares ONE
+    compiled shape per program.
     """
     cfg = dataset.config
     mc = cfg.model_config
@@ -214,17 +262,23 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
     slides = [dataset.slides[i] for i in indices]
 
     bag0 = collate_bag0(dataset, indices, level0_bucket=level0_bucket,
-                        dtype=dtype)
+                        dtype=dtype, pads=pads)
     b, n0 = bag0.mask.shape
 
     widths = bag_widths(cfg.top_k_patches, cfg.num_levels, n0)
     tables = []
     for lvl in range(1, cfg.num_levels):
         per = [s.tables[lvl - 1] for s in slides]
-        rows = _round_up(max(widths[lvl],
-                             max(t["fts"].shape[0] for t in per)), row_bucket)
-        h = _round_up(max(t["index"].shape[0] for t in per), grid_bucket)
-        w = _round_up(max(t["index"].shape[1] for t in per), grid_bucket)
+        max_rows = max(t["fts"].shape[0] for t in per)
+        max_h = max(t["index"].shape[0] for t in per)
+        max_w = max(t["index"].shape[1] for t in per)
+        if pads is not None:
+            max_rows = max(max_rows, pads["rows"][lvl])
+            max_h = max(max_h, pads["grid_hw"][lvl][0])
+            max_w = max(max_w, pads["grid_hw"][lvl][1])
+        rows = _round_up(max(widths[lvl], max_rows), row_bucket)
+        h = _round_up(max_h, grid_bucket)
+        w = _round_up(max_w, grid_bucket)
         tables.append(stack_tables(per, min_rows=widths[lvl],
                                    pad_rows_to=rows, pad_grid_to=(h, w),
                                    dtype=dtype))
@@ -237,7 +291,8 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
 
 
 def collate_bag0(dataset: SlideDataset, indices: Sequence[int],
-                 level0_bucket: int = 256, dtype=None) -> PatchBag:
+                 level0_bucket: int = 256, dtype=None,
+                 pads: Optional[dict] = None) -> PatchBag:
     """Collate only the level-0 bag (used by the streaming engine, which
     keeps the deeper levels' tables on the host)."""
     cfg = dataset.config
@@ -249,7 +304,10 @@ def collate_bag0(dataset: SlideDataset, indices: Sequence[int],
     ds_dim, dp_dim = mc.ctx_dim()
 
     l0 = [s.level0 for s in slides]
-    n0 = _round_up(max(x[2] for x in l0), level0_bucket)
+    max_n0 = max(x[2] for x in l0)
+    if pads is not None:
+        max_n0 = max(max_n0, pads["n0"])
+    n0 = _round_up(max_n0, level0_bucket)
     fts0 = np.zeros((b, n0, mc.patch_embed_dim), np.float32)
     locs0 = np.zeros((b, n0, 2), np.int32)
     mask0 = np.zeros((b, n0), bool)
@@ -269,11 +327,12 @@ def collate_bag0(dataset: SlideDataset, indices: Sequence[int],
 
 def iterate_batches(dataset: SlideDataset, batch_size: int, *,
                     shuffle: bool = False, seed: int = 0,
-                    level0_bucket: int = 256):
+                    level0_bucket: int = 256, pads: Optional[dict] = None):
     """Yield collated batches; shuffling is seeded per epoch."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     for s in range(0, len(order), batch_size):
         idx = order[s: s + batch_size]
-        yield collate_batch(dataset, idx, level0_bucket=level0_bucket)
+        yield collate_batch(dataset, idx, level0_bucket=level0_bucket,
+                            pads=pads)

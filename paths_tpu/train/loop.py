@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from paths_tpu.config import Config
-from paths_tpu.data.dataset import SlideDataset, collate_batch
+from paths_tpu.data.dataset import SlideDataset, collate_batch, union_pads
 from paths_tpu.engine.hierarchy import end2end_loss
 from paths_tpu.models.recursive import recursive_init
 from paths_tpu.parallel.mesh import (
@@ -109,7 +109,7 @@ def _prefetch(iterator, depth: int = 2):
 
 def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
                    seed: int, mesh_size: int, config: Config,
-                   prefetch: int = 2):
+                   prefetch: int = 2, pads=None):
     """Yield (bag0, tables, labels, weights) with mesh-size padding,
     prefetched on a background thread."""
     def gen():
@@ -120,7 +120,7 @@ def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
             idx = order[s: s + batch_size].tolist()
             idx, w = pad_batch_indices(idx, mesh_size)
             bag0, tables, labels = collate_batch(
-                dataset, idx, level0_bucket=config.level0_bucket)
+                dataset, idx, level0_bucket=config.level0_bucket, pads=pads)
             labels = dict(labels)
             labels["weight"] = jax.numpy.asarray(w)
             yield bag0, tables, labels, w
@@ -161,6 +161,13 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
     mesh = mesh or make_mesh(config.mesh_shape[0] if config.mesh_shape else None)
     mesh_size = mesh.devices.size
     streaming = config.engine == "streaming"
+
+    # one compiled shape per program across the whole run (train + both
+    # eval splits share the same padded shapes)
+    pads = None
+    if config.static_shapes and not streaming:
+        pads = union_pads(*(d.global_pads() for d in
+                            [train_ds, val_ds, test_ds] if d is not None))
 
     params = recursive_init(jax.random.PRNGKey(config.seed), config)
     tx = make_optimizer(config)
@@ -213,7 +220,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
             return
         for bag0, tables, labels, w in _epoch_batches(
                 dataset, batch_size, shuffle=False, seed=0,
-                mesh_size=mesh_size, config=config):
+                mesh_size=mesh_size, config=config, pads=pads):
             bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
             loss, aux = evaluate(params, bag0, tables, labels)
             _register(evaluator, labels, aux["pred"], loss, w)
@@ -248,7 +255,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
             for bag0, tables, labels, w in _epoch_batches(
                     train_ds, batch_size, shuffle=True,
                     seed=config.seed * 100_003 + e, mesh_size=mesh_size,
-                    config=config):
+                    config=config, pads=pads):
                 rng, step_rng = jax.random.split(rng)
                 bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
                 params, opt_state, loss, aux = update(
