@@ -87,8 +87,8 @@ class RawSlide:
 
     def load_patches(self, wsi: Optional[WSIReader] = None) -> "RawSlide":
         if self.patches is not None:
-            print("WARNING: Trying to load_patches() but they have already "
-                  "been loaded.")
+            print("load_patches(): patches already resident; skipping "
+                  "reload.")
             return self
 
         h, w = self.load_size
@@ -131,12 +131,13 @@ class RawSlide:
         threshold = self.tissue_threshold
         indices = proportions > threshold
         while indices.sum() == 0 and threshold > 1e-6:
-            print(f"Oh dear... image has 0 patches with thresh {threshold}, "
-                  f"path={self.path}")
+            print(f"no patch passes tissue threshold {threshold} "
+                  f"({self.path}); halving threshold and retrying")
             threshold /= 2
             indices = proportions > threshold
         if threshold <= 1e-6:
-            print("Everything is masked out!")
+            print("slide appears fully background; keeping one patch as a "
+                  "fallback")
             indices = np.zeros(len(proportions), bool)
             indices[0] = True
 

@@ -1,12 +1,15 @@
 """Epoch-level evaluators accumulating per-batch statistics.
 
-Mirrors the reference's `Evaluator` hierarchy (`eval.py:9-120`):
-`SurvivalEvaluator` accumulates censorship / event time / risk (risk =
--sum of cumulative survival, `eval.py:59-64`) and reports the censored
-concordance index with the all-censored guard (`eval.py:66-77`);
-`SubtypeClassificationEvaluator` reports mean one-vs-rest AUROC.
-Both emit `{split}_loss` plus their metric and can write into a
-`train_stats` history dict keyed by epoch.
+Covers the reference's evaluator behavior (`eval.py:9-120`): the survival
+evaluator turns post-sigmoid hazards into a risk score (negative summed
+cumulative survival, `eval.py:59-64`) and reports the censored
+concordance index with an all-censored guard (`eval.py:66-77`); the
+subtype evaluator reports mean one-vs-rest AUROC. Both emit
+`{split}_loss` plus their metric and can fill a per-epoch history dict.
+
+Structure here is a generic column store: each evaluator declares the
+per-batch columns it accumulates and a pure function from stacked columns
+to metrics — rather than one hand-written list attribute per statistic.
 """
 from __future__ import annotations
 
@@ -23,108 +26,108 @@ from paths_tpu.train.metrics import (
 
 
 class Evaluator(ABC):
+    """Accumulates named per-batch column arrays plus a scalar loss, then
+    reduces them to `{split}_*` metrics at epoch end."""
+
+    #: column names collected by register(); defined by subclasses
+    COLUMNS: tuple = ()
+
     def __init__(self, split: str):
         self.split = split
-        self.losses = []
+        self._loss_sum = 0.0
+        self._loss_n = 0
+        self._cols: Dict[str, list] = {c: [] for c in self.COLUMNS}
 
-    @abstractmethod
-    def reset(self) -> None: ...
+    def reset(self) -> None:
+        self._loss_sum = 0.0
+        self._loss_n = 0
+        for chunks in self._cols.values():
+            chunks.clear()
+
+    def _collect(self, loss, **columns) -> None:
+        self._loss_sum += float(loss)
+        self._loss_n += 1
+        for name, value in columns.items():
+            self._cols[name].append(np.asarray(value))
+
+    def _stacked(self, name: str) -> np.ndarray:
+        return np.concatenate(self._cols[name])
+
+    @property
+    def mean_loss(self) -> float:
+        return self._loss_sum / max(self._loss_n, 1)
 
     @abstractmethod
     def register(self, batch: Dict, pred, loss) -> None: ...
 
     @abstractmethod
-    def calculate(self, train_stats: Optional[dict] = None,
-                  epoch: Optional[int] = None) -> Dict: ...
+    def _metrics(self) -> Dict[str, float]:
+        """Reduce stacked columns to metric values (without the loss)."""
 
-    def _add_to_train_stats(self, epoch, out, train_stats) -> None:
+    def calculate(self, train_stats: Optional[dict] = None,
+                  epoch: Optional[int] = None) -> Dict:
+        out = {f"{self.split}_loss": self.mean_loss}
+        out.update({f"{self.split}_{k}": v for k, v in self._metrics().items()})
+        self._record_history(out, train_stats, epoch)
+        return out
+
+    @staticmethod
+    def _record_history(out: Dict, train_stats: Optional[dict],
+                        epoch: Optional[int]) -> None:
+        """Write metrics into a history dict that pre-declares its keys:
+        per-epoch when an epoch index is given, overwrite otherwise."""
         if train_stats is None:
             return
-        for key, val in out.items():
-            if key in train_stats:
-                if epoch is None:
-                    train_stats[key] = val
-                else:
-                    train_stats[key][epoch] = val
+        for key in out.keys() & train_stats.keys():
+            if epoch is None:
+                train_stats[key] = out[key]
+            else:
+                train_stats[key][epoch] = out[key]
 
 
 class SurvivalEvaluator(Evaluator):
-    def __init__(self, split: str):
-        super().__init__(split)
-        self.all_censorships = []
-        self.all_event_times = []
-        self.all_risk_scores = []
-
-    def reset(self):
-        self.losses.clear()
-        self.all_censorships.clear()
-        self.all_event_times.clear()
-        self.all_risk_scores.clear()
+    COLUMNS = ("censored", "time", "risk")
 
     def register(self, batch: Dict, hazards, loss):
         """:param batch: dict with "censored" (1 = censored) and "survival"
         (event/censoring time in months)
         :param hazards: (B, nbins) post-sigmoid hazards"""
-        self.losses.append(float(loss))
-        hazards = np.asarray(hazards)
-        survival = np.cumprod(1.0 - hazards, axis=1)
-        risk = -survival.sum(axis=1)
-        self.all_censorships.append(np.asarray(batch["censored"]))
-        self.all_event_times.append(np.asarray(batch["survival"]))
-        self.all_risk_scores.append(risk)
+        survival = np.cumprod(1.0 - np.asarray(hazards), axis=1)
+        self._collect(loss, censored=batch["censored"],
+                      time=batch["survival"], risk=-survival.sum(axis=1))
 
-    def calculate(self, train_stats=None, epoch=None):
-        events = (1 - np.concatenate(self.all_censorships)).astype(bool)
-        times = np.concatenate(self.all_event_times)
-        risks = np.concatenate(self.all_risk_scores)
-
+    def _metrics(self):
+        events = (1 - self._stacked("censored")).astype(bool)
         if events.sum() <= 1:
             # all-censored guard (`eval.py:72-74`)
-            c_index = 0.5
-        else:
-            try:
-                c_index = concordance_index_censored(events, times, risks)[0]
-            except NoComparablePairs:
-                c_index = 0.5
-
-        out = {
-            f"{self.split}_loss": float(np.mean(self.losses)),
-            f"{self.split}_c-index": float(c_index),
-        }
-        self._add_to_train_stats(epoch, out, train_stats)
-        return out
+            return {"c-index": 0.5}
+        try:
+            ci = concordance_index_censored(
+                events, self._stacked("time"), self._stacked("risk"))[0]
+        except NoComparablePairs:
+            ci = 0.5
+        return {"c-index": float(ci)}
 
 
 class SubtypeClassificationEvaluator(Evaluator):
+    COLUMNS = ("prob", "subtype")
+
     def __init__(self, split: str, nclasses: int):
         super().__init__(split)
         self.nclasses = nclasses
-        self.all_preds = []
-        self.all_subtypes = []
-
-    def reset(self):
-        self.losses.clear()
-        self.all_preds.clear()
-        self.all_subtypes.clear()
 
     def register(self, batch: Dict, logits, loss):
-        self.losses.append(float(loss))
         logits = np.asarray(logits, np.float64)
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
-        self.all_preds.append(e / e.sum(axis=-1, keepdims=True))
-        self.all_subtypes.append(np.asarray(batch["subtype"]))
+        self._collect(loss, prob=e / e.sum(axis=-1, keepdims=True),
+                      subtype=batch["subtype"])
 
-    def calculate(self, train_stats=None, epoch=None):
-        preds = np.concatenate(self.all_preds)
-        subtypes = np.concatenate(self.all_subtypes)
-        aucs = [binary_auroc(preds[:, i], subtypes == i)
+    def _metrics(self):
+        probs = self._stacked("prob")
+        labels = self._stacked("subtype")
+        aucs = [binary_auroc(probs[:, i], labels == i)
                 for i in range(self.nclasses)]
-        out = {
-            f"{self.split}_loss": float(np.mean(self.losses)),
-            f"{self.split}_AUC": float(np.mean(aucs)),
-        }
-        self._add_to_train_stats(epoch, out, train_stats)
-        return out
+        return {"AUC": float(np.mean(aucs))}
 
 
 def make_evaluator(config, split: str) -> Evaluator:

@@ -77,18 +77,93 @@ def run_recursion(config: Config, params: dict, encode_fn: Callable,
     return slide_depths, imps, np.asarray(out["logits"])
 
 
+# Rendering contract shared with the reference output (figure geometry,
+# outline weight, overlay opacity, fold factor — `heatmap_visualise.py`'s
+# published look): the *implementation* below is vectorized canvas
+# painting, not the reference's per-patch paint loop.
+FIGSIZE = (6, 3.4)
+OUTLINE_LW = 0.5
+OVERLAY_ALPHA = 0.5
+FOLD_WEIGHT = 0.5          # child level importance contribution to parent
+VISITED_EPS = 1e-4         # marks visited patches even at zero importance
+VIEWPORT_TRIM = 0.1        # drop patches in the outer 10% bands vertically
+VIEWPORT_PAD = 128
+
+
+def _depth0_cells(slide, depth: int, patch_size: int):
+    """Visited-patch geometry projected into the depth-0 (coarsest) pixel
+    frame. Positions at depth d are multiples of `patch_size` in depth-d
+    pixels, so each patch occupies exactly one cell of a (patch_size >> d)
+    grid after the 2x-per-level projection. Returns (rows, cols, size)."""
+    size = max(patch_size >> depth, 1)
+    locs = np.asarray(slide.locs, np.int64)
+    return locs[:, 0] // patch_size, locs[:, 1] // patch_size, size
+
+
+def folded_importance(slide_depths, imps, patch_size: int,
+                      shape) -> np.ndarray:
+    """(H, W) map in the depth-0 frame: each level's importance is painted
+    over its visited patches, then child levels fold into their parents
+    with FOLD_WEIGHT per depth. Fully vectorized: per level, importance is
+    scattered into a coarse cell grid and upsampled with np.repeat."""
+    H, W = shape
+    levels = []
+    for depth, (slide, imp) in enumerate(zip(slide_depths, imps)):
+        rows, cols, size = _depth0_cells(slide, depth, patch_size)
+        gh, gw = -(-H // size), -(-W // size)
+        cells = np.zeros((gh, gw))
+        keep = (rows < gh) & (cols < gw)
+        cells[rows[keep], cols[keep]] = imp[: len(rows)][keep] + VISITED_EPS
+        levels.append(np.repeat(np.repeat(cells, size, 0), size, 1)[:H, :W])
+
+    acc = levels[-1]
+    for parent in levels[-2::-1]:
+        visited_child = acc != 0
+        acc = np.where(visited_child, parent + acc * FOLD_WEIGHT, parent)
+    return acc
+
+
+def _outline_collection(slide_depths, patch_size: int):
+    """One matplotlib collection outlining every visited patch at every
+    depth (vs the reference's per-patch `add_patch` calls)."""
+    from matplotlib.collections import PatchCollection
+    from matplotlib.patches import Rectangle
+
+    rects = []
+    for depth, slide in enumerate(slide_depths):
+        rows, cols, size = _depth0_cells(slide, depth, patch_size)
+        rects.extend(Rectangle((x * size, y * size), size, size)
+                     for y, x in zip(rows, cols))
+    return PatchCollection(rects, facecolor="none", edgecolor="black",
+                           lw=OUTLINE_LW)
+
+
+def _viewport_ylim(slide, patch_size: int, height: int):
+    """(bottom, top) y-limits framing the level-0 patches, ignoring ones
+    whose centers fall in the outer VIEWPORT_TRIM bands (outliers)."""
+    ys = np.asarray(slide.locs, np.int64)[:, 0]
+    frac = (ys + patch_size / 2) / height
+    inner = ys[(frac > VIEWPORT_TRIM) & (frac < 1 - VIEWPORT_TRIM)]
+    if inner.size == 0:
+        inner = ys
+    return (int(inner.max()) + VIEWPORT_PAD + patch_size,
+            int(inner.min()) - VIEWPORT_PAD)
+
+
 def heatmap_slide(config: Config, params: dict, encode_fn: Callable,
                   slide_path: str, annotation_path: Optional[str],
                   out_path: Optional[str], tissue_threshold: float = 0.025,
                   camelyon: bool = True, default_power: float = 40.0,
                   show: bool = False):
-    """Render the two-panel heatmap PDF (`heatmap_visualise.py:52-205`)."""
+    """Render the two-panel heatmap PDF (output contract of
+    `heatmap_visualise.py:52-205`: slide + annotation on the left; slide
+    with outlined visited patches, folded-importance viridis overlay, and
+    inset colorbar on the right; shared auto-viewport)."""
     import matplotlib
 
     if not show:
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from matplotlib.patches import Rectangle
     from mpl_toolkits.axes_grid1.inset_locator import inset_axes
 
     assert os.path.isfile(slide_path), f"Couldn't find WSI at '{slide_path}'."
@@ -97,77 +172,40 @@ def heatmap_slide(config: Config, params: dict, encode_fn: Callable,
         if directory and not os.path.isdir(directory):
             os.makedirs(directory, exist_ok=True)
 
-    L = config.num_levels
     P = config.model_config.patch_size
-
-    def convert_pix(pix, depth, to_depth):
-        e = to_depth - depth
-        return pix // 2 ** (-e) if e <= 0 else pix * 2 ** e
-
     slide_depths, imps, _ = run_recursion(
         config, params, encode_fn, slide_path, tissue_threshold, camelyon,
         default_power)
 
     bigimg = slide_depths[0].view_at_power(config.base_power)
-    H, W, C = bigimg.shape
-    assert C == 3
+    H, W = bigimg.shape[:2]
 
-    fig, axes = plt.subplots(1, 2, figsize=(6, 3.4))
-    sax = axes[0]
-    sax.imshow(bigimg, aspect="equal")
-    sax.set_xticks([])
-    sax.set_yticks([])
+    fig, (sax, ax) = plt.subplots(1, 2, figsize=FIGSIZE)
+    for a in (sax, ax):
+        a.imshow(bigimg, aspect="equal")
+        a.set_xticks([])
+        a.set_yticks([])
 
     if annotation_path is not None:
-        polygons = parse_camelyon17_anno_file(annotation_path)
-        multiplier = config.base_power / default_power
-        for coords, _ in polygons:
-            x, y = zip(*coords)
-            x = [i * multiplier for i in x]
-            y = [i * multiplier for i in y]
-            sax.plot(list(x) + [x[0]], list(y) + [y[0]], color="blue",
-                     linewidth=2)
+        scale = config.base_power / default_power
+        for coords, _ in parse_camelyon17_anno_file(annotation_path):
+            ring = np.asarray(coords + coords[:1]) * scale
+            sax.plot(ring[:, 0], ring[:, 1], color="blue", linewidth=2)
 
-    ax = axes[1]
-    ax.imshow(bigimg, aspect="equal")
-    ax.set_xticks([])
-    ax.set_yticks([])
+    ax.add_collection(_outline_collection(slide_depths, P))
 
-    overall_imp = np.zeros((L, H, W))
-    for depth in range(L):
-        locs = slide_depths[depth].locs
-        size = convert_pix(P, depth, 0)
-        for i in range(locs.shape[0]):
-            y, x = int(locs[i][0]), int(locs[i][1])
-            y, x = convert_pix(y, depth, 0), convert_pix(x, depth, 0)
-            ax.add_patch(Rectangle((x, y), size, size, facecolor="None",
-                                   edgecolor="black", lw=0.5))
-            y1, y2 = max(y, 0), min(y + size, H)
-            x1, x2 = max(x, 0), min(x + size, W)
-            if y1 <= y2 and x1 <= x2:
-                overall_imp[depth, y1:y2, x1:x2] = imps[depth][i] + 1e-4
+    heat = folded_importance(slide_depths, imps, P, (H, W))
+    alpha = np.where(heat > 0, OVERLAY_ALPHA, 0.0)
+    visited = heat > 0
+    if visited.any():
+        heat = np.where(visited, heat, heat[visited].min())
+    hm = ax.imshow(heat, cmap="viridis", alpha=alpha, aspect="equal")
 
-    # fold deeper importances into parents with 0.5 weight per depth
-    for depth in range(L - 2, -1, -1):
-        m = overall_imp[depth + 1] != 0
-        overall_imp[depth][m] = (overall_imp[depth][m]
-                                 + overall_imp[depth + 1][m] * 0.5)
-    overall_imp = overall_imp[0]
+    ylim = _viewport_ylim(slide_depths[0], P, H)
+    sax.set_ylim(*ylim)
+    ax.set_ylim(*ylim)
 
-    alpha = np.where(overall_imp > 0, 0.5, 0.0)
-    if (overall_imp > 0).any():
-        overall_imp[overall_imp == 0] = overall_imp[overall_imp > 0].min()
-    hm = ax.imshow(overall_imp, cmap="viridis", alpha=alpha, aspect="equal")
-
-    # viewport from level-0 patch positions, excluding top/bottom 10%
-    ys = [int(v) for v in slide_depths[0].locs[:, 0]]
-    thresh = 0.1
-    ys_f = [y for y in ys if thresh < (y + P / 2) / H < 1 - thresh] or ys
-    pad = 128
-    for a in axes:
-        a.set_ylim(max(ys_f) + pad + P, min(ys_f) - pad)
-
-    cax = inset_axes(axes[1], width="5%", height="100%", loc="right",
+    cax = inset_axes(ax, width="5%", height="100%", loc="right",
                      borderpad=-1.5)
     fig.colorbar(hm, cax=cax, orientation="vertical")
     fig.tight_layout()
