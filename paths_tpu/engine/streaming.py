@@ -23,17 +23,31 @@ Equivalence with the fused engine is tested to float tolerance
 """
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from paths_tpu.config import Config
 from paths_tpu.engine.hierarchy import finish_step, select_children, task_loss
 from paths_tpu.models.batch import PatchBag
 from paths_tpu.models.recursive import recursive_apply
+
+# Per-slide gathers are independent numpy fancy-indexing jobs over mmapped
+# tables (GIL-releasing); one shared pool overlaps them with each other and
+# with in-flight device compute.
+_GATHER_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _gather_pool() -> ThreadPoolExecutor:
+    global _GATHER_POOL
+    if _GATHER_POOL is None:
+        _GATHER_POOL = ThreadPoolExecutor(max_workers=8)
+    return _GATHER_POOL
 
 
 def lookup_host(child_locs: np.ndarray, child_kvalid: np.ndarray,
@@ -49,7 +63,7 @@ def lookup_host(child_locs: np.ndarray, child_kvalid: np.ndarray,
     use_fb = np.zeros((b,), bool)
     base_parent = np.tile(np.arange(s // 4, dtype=np.int32), 4)
 
-    for j, t in enumerate(host_tables):
+    def gather_slide(j: int, t: dict) -> None:
         y, x = child_locs[j, :, 0], child_locs[j, :, 1]
         gh, gw = int(t["grid_hw"][0]), int(t["grid_hw"][1])
         inb = (y >= 0) & (y < gh) & (x >= 0) & (x < gw)
@@ -75,15 +89,25 @@ def lookup_host(child_locs: np.ndarray, child_kvalid: np.ndarray,
             mask[j] = np.arange(s) < fb_n
             fts[j] = fts[j] * mask[j][:, None]
             parent[j] = np.arange(s, dtype=np.int32)
+
+    # slides write disjoint rows; futures propagate worker exceptions
+    list(_gather_pool().map(gather_slide, range(b), host_tables))
     return {"mask": mask, "fts": fts, "locs": locs, "parent": parent,
             "use_fallback": use_fb}
 
 
 class StreamingEngine:
-    """Two-pass streaming executor bound to a config."""
+    """Two-pass streaming executor bound to a config.
 
-    def __init__(self, config: Config):
+    With a multi-device `mesh`, gathered bags and recorded lookups are
+    placed sharded along the `data` axis; params stay replicated, so XLA
+    inserts the gradient all-reduce in the replay pass exactly as in the
+    fused engine's train step."""
+
+    def __init__(self, config: Config, mesh: Optional[Mesh] = None):
         self.config = config
+        self._shard = (NamedSharding(mesh, P("data"))
+                       if mesh is not None and mesh.devices.size > 1 else None)
 
         cfg = config
 
@@ -124,7 +148,10 @@ class StreamingEngine:
                 lk = lookup_host(np.asarray(sel["child_locs"]),
                                  np.asarray(sel["child_kvalid"]),
                                  [ts[i] for ts in host_tables])
-                lk_dev = {k: jnp.asarray(v) for k, v in lk.items()}
+                if self._shard is not None:
+                    lk_dev = jax.device_put(lk, self._shard)
+                else:
+                    lk_dev = {k: jnp.asarray(v) for k, v in lk.items()}
                 if record:
                     recorded.append(lk_dev)
                 bag = self._finish(sel, lk_dev)

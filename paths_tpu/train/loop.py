@@ -133,24 +133,36 @@ def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
 
 def _epoch_batches_streaming(dataset: SlideDataset, batch_size: int, *,
                              shuffle: bool, seed: int, mesh_size: int,
-                             config: Config):
-    """Streaming-engine batches: level-0 bag on device, per-slide host
-    table dicts for the deeper levels (tables never leave host RAM)."""
+                             config: Config, mesh=None, prefetch: int = 2):
+    """Streaming-engine batches: level-0 bag on device (sharded over the
+    mesh), per-slide host table dicts for the deeper levels (tables never
+    leave host RAM). A background thread loads/collates batch k+1 — the
+    mmap table loads and level-0 collation overlap the device's selection
+    and replay passes for batch k."""
     from paths_tpu.data.dataset import collate_bag0
 
-    order = np.arange(len(dataset))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
-    for s in range(0, len(order), batch_size):
-        idx = order[s: s + batch_size].tolist()
-        idx, w = pad_batch_indices(idx, mesh_size)
-        bag0 = collate_bag0(dataset, idx, level0_bucket=config.level0_bucket)
-        slides = [dataset.slides[i] for i in idx]
-        host_tables = [s_.tables for s_ in slides]
-        labels = dict(dataset.labels(idx))
-        labels = {k: jax.numpy.asarray(v) for k, v in labels.items()}
-        labels["weight"] = jax.numpy.asarray(w)
-        yield bag0, host_tables, labels, w, slides
+    def gen():
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for s in range(0, len(order), batch_size):
+            idx = order[s: s + batch_size].tolist()
+            idx, w = pad_batch_indices(idx, mesh_size)
+            bag0 = collate_bag0(dataset, idx,
+                                level0_bucket=config.level0_bucket)
+            slides = [dataset.slides[i] for i in idx]
+            host_tables = [s_.tables for s_ in slides]
+            labels = dict(dataset.labels(idx))
+            labels = {k: jax.numpy.asarray(v) for k, v in labels.items()}
+            labels["weight"] = jax.numpy.asarray(w)
+            if mesh is not None and mesh.devices.size > 1:
+                bag0, labels = shard_batch(mesh, (bag0, labels))
+            yield bag0, host_tables, labels, w, slides
+
+    if prefetch:
+        yield from _prefetch(gen(), depth=prefetch)
+    else:
+        yield from gen()
 
 
 def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
@@ -185,13 +197,9 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
     update, evaluate = make_step_fns(config, tx)
 
     if streaming:
-        assert mesh_size == 1, (
-            "engine='streaming' currently runs single-device (the host "
-            "gather loop is not mesh-sharded yet); use engine='fused' for "
-            "data-parallel training or set mesh_shape=[1]")
         from paths_tpu.engine.streaming import StreamingEngine
 
-        eng = StreamingEngine(config)
+        eng = StreamingEngine(config, mesh=mesh)
 
         @jax.jit
         def opt_apply(grads, opt_state, params):
@@ -211,7 +219,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         if streaming:
             for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
                     dataset, batch_size, shuffle=False, seed=0,
-                    mesh_size=mesh_size, config=config):
+                    mesh_size=mesh_size, config=config, mesh=mesh):
                 loss, pred = eng.evaluate(params, bag0, host_tables, labels)
                 _register(evaluator, labels, pred, loss, w)
                 if not dataset.cache_slides:
@@ -241,7 +249,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
             for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
                     train_ds, batch_size, shuffle=True,
                     seed=config.seed * 100_003 + e, mesh_size=mesh_size,
-                    config=config):
+                    config=config, mesh=mesh):
                 rng, step_rng = jax.random.split(rng)
                 loss, pred, grads = eng.loss_and_grad(
                     params, bag0, host_tables, labels, rng=step_rng,

@@ -100,6 +100,29 @@ def test_streaming_train_loop(tmp_path):
                                stats_f["train_loss"][1], rtol=2e-4)
 
 
+def test_streaming_dp_matches_single_device(tmp_path):
+    """engine='streaming' on an 8-device data-parallel mesh reproduces the
+    single-device trajectory (selection pass + sharded replay + gradient
+    all-reduce, same seeds and batches)."""
+    import os
+
+    from paths_tpu.parallel.mesh import make_mesh
+    from paths_tpu.train.loop import train_loop
+
+    cfg, ds_ = setup(tmp_path, n=10)
+    cfg.engine = "streaming"
+    cfg.num_epochs = 2
+    train, val, test = load_splits([0.6, 0.2, 0.2], seed=0, config=cfg,
+                                   preload=False)
+    s1 = train_loop(cfg, os.path.join(str(tmp_path), "s1"),
+                    train, val, test, mesh=make_mesh(1), verbose=False)
+    s8 = train_loop(cfg, os.path.join(str(tmp_path), "s8"),
+                    train, val, test, mesh=make_mesh(8), verbose=False)
+    for e in s1["train_loss"]:
+        np.testing.assert_allclose(s1["train_loss"][e], s8["train_loss"][e],
+                                   rtol=2e-4)
+
+
 def test_lookup_host_fallback(tmp_path):
     """Host lookup reproduces the all-background fallback."""
     from paths_tpu.engine.tables import build_level_table
