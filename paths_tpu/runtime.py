@@ -36,8 +36,19 @@ def maybe_init_distributed() -> bool:
     'distributed communication backend')."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-        return True
-    return False
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return False
+    # On TPU pods the cluster env autodetects everything; elsewhere (e.g.
+    # CPU multi-process with gloo collectives) the process topology comes
+    # from env vars, passed explicitly since JAX has no plain-env cluster
+    # detector (tests/test_multihost.py exercises this path).
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if nproc is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(nproc),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize(coordinator_address=addr)
+    return True
