@@ -26,6 +26,19 @@ def make_mesh(n_data: Optional[int] = None,
     return Mesh(np.asarray(devices[:n]).reshape(n), ("data",))
 
 
+def make_mesh_2d(n_data: int, n_model: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """(data, model) mesh: `data` shards slides (DP), `model` shards the
+    patch axis of oversize bags (sequence parallelism for the aggregator's
+    attention — the TPU equivalent of splitting one slide's level-0 bag
+    across chips). Lay `model` innermost so its collectives (K/V
+    all-gathers every attention layer) ride the fastest ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (parameters / optimizer state)."""
     sharding = NamedSharding(mesh, P())
@@ -38,6 +51,29 @@ def shard_batch(mesh: Mesh, tree):
         return jax.device_put(x, NamedSharding(mesh, P("data")))
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def shard_bag_patches(mesh: Mesh, bag):
+    """Shard a PatchBag along batch (`data`) AND patch (`model`) axes.
+
+    With params replicated, jitting the recursion over such a bag makes
+    XLA's SPMD partitioner run all per-patch work (projections, LN, FFN,
+    LSTM context) fully sharded and insert K/V all-gathers / softmax
+    reductions only where the attention actually mixes patches — the
+    GSPMD path for level-0 bags too large for one chip's HBM. `ctx_slide`
+    has no patch axis and shards on `data` alone.
+    """
+    from paths_tpu.models.batch import PatchBag
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    dp = P("data", "model")
+    return PatchBag(
+        fts=put(bag.fts, dp), locs=put(bag.locs, dp),
+        mask=put(bag.mask, dp), parent_inds=put(bag.parent_inds, dp),
+        ctx_slide=put(bag.ctx_slide, P("data")),
+        ctx_patch=put(bag.ctx_patch, dp))
 
 
 def pad_batch_indices(indices: Sequence[int], multiple: int):
