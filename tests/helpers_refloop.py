@@ -80,9 +80,11 @@ def collate(items):
     }
 
 
-@torch.no_grad()
 def ref_end2end(tmodel, slide_grids, num_levels, keep_patches, patch_size,
                 ds_dim, dp_dim):
+    # no torch.no_grad here: trajectory-parity training (test_trajectory_
+    # parity.py) backpropagates through this loop; inference-only callers
+    # pay only a little extra memory at test sizes
     """Full recursion over a batch of slides; slide_grids[j][i] is slide
     j's dense grid at level i. Returns (final logits, per-level batches)."""
     items = []

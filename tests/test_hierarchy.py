@@ -69,9 +69,10 @@ def run_both(slide_grids, cfg, seed=0):
     params = recursive_from_torch(to_numpy_sd(tmodel), cfg)
     ds, dp = cfg.model_config.ctx_dim()
 
-    ref_logits, ref_batches = ref_end2end(
-        tmodel, slide_grids, cfg.num_levels, cfg.top_k_patches,
-        cfg.model_config.patch_size, ds, dp)
+    with torch.no_grad():   # inference-only parity; grads not needed here
+        ref_logits, ref_batches = ref_end2end(
+            tmodel, slide_grids, cfg.num_levels, cfg.top_k_patches,
+            cfg.model_config.patch_size, ds, dp)
 
     bag0, tables = jax_inputs(slide_grids, cfg)
     outs = end2end_forward(params, cfg, bag0, tables)
