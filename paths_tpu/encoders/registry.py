@@ -38,13 +38,27 @@ def _to_float01(images):
     return images.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("tspec", "compute_dtype"))
-def _vit_encode(params, images, tspec, compute_dtype):
+@partial(jax.jit, static_argnames=("tspec", "compute_dtype", "attn_impl"))
+def _vit_encode(params, images, tspec, compute_dtype, attn_impl="xla"):
     from paths_tpu.encoders.transforms import apply_transform
     from paths_tpu.encoders.vit import vit_apply
 
     x = apply_transform(_to_float01(images), tspec)
-    return vit_apply(params, x, compute_dtype=compute_dtype)
+    return vit_apply(params, x, compute_dtype=compute_dtype,
+                     attn_impl=attn_impl)
+
+
+def _resolve_block_impl(impl: str, spec) -> str:
+    """'auto' -> the fused Pallas block kernels on TPU (the 1.9x encoder
+    path, kernels/vit_fused.py), plain XLA elsewhere. SwiGLU MLPs
+    (Virchow2) stay on XLA until the fused MLP kernel covers them."""
+    if impl != "auto":
+        return impl
+    try:
+        on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:  # noqa: BLE001 — backend probing must never raise
+        on_tpu = False
+    return "fused" if on_tpu and not spec.swiglu else "xla"
 
 
 @partial(jax.jit, static_argnames=("tspec", "compute_dtype"))
@@ -68,12 +82,15 @@ _VIT_SPECS = {
 
 def from_name(name: str, weights_path: Optional[str] = None,
               compute_dtype=jnp.bfloat16, seed: int = 0,
-              fast_math: bool = False) -> Tuple[Callable, int, TransformSpec]:
+              fast_math: bool = False,
+              block_impl: str = "auto") -> Tuple[Callable, int, TransformSpec]:
     """:return: (encode_fn taking (B,H,W,3) [0,1] or uint8 images ->
     (B, dim) float32 features, feature dim, transform spec).
 
     :param fast_math: tanh-GELU instead of timm's exact erf GELU
-        (~20% faster on TPU, ~1e-3 relative feature error)."""
+        (~20% faster on TPU, ~1e-3 relative feature error).
+    :param block_impl: "auto" (fused Pallas block kernels on TPU, XLA
+        otherwise), "fused", "flash", or "xla"."""
     name = name.lower()
 
     if name in _VIT_SPECS:
@@ -89,9 +106,11 @@ def from_name(name: str, weights_path: Optional[str] = None,
         # scan-over-stacked-blocks layout: ~depth-times smaller programs
         params = stack_vit_blocks(params)
         params = jax.device_put(params)  # resident once, passed as jit args
+        impl = _resolve_block_impl(block_impl, spec)
 
         def encode(images, params=params):
-            return _vit_encode(params, images, tspec, compute_dtype)
+            return _vit_encode(params, images, tspec, compute_dtype,
+                               attn_impl=impl)
 
         return encode, spec.out_dim, tspec
 

@@ -239,7 +239,9 @@ def vit_apply(params: dict, images: jnp.ndarray,
 
     :param images: (B, H, W, 3) float, already preprocessed (resized /
         normalized — see `paths_tpu.preprocess.transforms`)
-    :param attn_impl: "xla" or "flash" (Pallas fused attention — TPU only)
+    :param attn_impl: "xla", "flash" (Pallas flash attention, TPU only),
+        or "fused" (fully-fused Pallas block kernels, TPU only —
+        kernels/vit_fused.py)
     :return: (B, out_dim) float32 — cls token (timm token pooling), or
         cls ‖ mean(patch tokens) for Virchow2 (register tokens dropped,
         reference `image_encoder.py:13-27`)

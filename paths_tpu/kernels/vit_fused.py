@@ -50,6 +50,18 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _dot(lhs, rhs, dimension_numbers, preferred_element_type=jnp.float32):
+    """dot_general with the contraction precision PINNED to DEFAULT:
+    callers may run under `jax_default_matmul_precision=highest` (the f32
+    parity mode), and Mosaic rejects bf16 operands with an fp32 contract
+    precision ("Bad lhs type"). These kernels accumulate in f32 via
+    preferred_element_type regardless, so DEFAULT is exactly right."""
+    return jax.lax.dot_general(
+        lhs, rhs, dimension_numbers,
+        preferred_element_type=preferred_element_type,
+        precision=jax.lax.Precision.DEFAULT)
+
+
 def _layernorm(x, scale, bias, eps=1e-6):
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -66,7 +78,7 @@ def _attn_kernel(x_ref, nsc_ref, nbi_ref, qkvw_ref, qkvb_ref, projw_ref,
     x = x_ref[...].reshape(g * n, d)
 
     y = _layernorm(x, nsc_ref[0], nbi_ref[0]).astype(cd)
-    qkv = jax.lax.dot_general(
+    qkv = _dot(
         y, qkvw_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(cd)  # (g·n, 3d)
@@ -79,18 +91,18 @@ def _attn_kernel(x_ref, nsc_ref, nbi_ref, qkvw_ref, qkvb_ref, projw_ref,
         k = qkv[:, :, d + h * hd:d + (h + 1) * hd]
         v = qkv[:, :, 2 * d + h * hd:2 * d + (h + 1) * hd]
         # per-image batched matmuls; images in a group share no attention
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+        s = _dot(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         s = s * sm_scale                                      # (g, n, n)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        ctx.append(jax.lax.dot_general(
+        ctx.append(_dot(
             p.astype(cd), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(cd))
     o = jnp.concatenate(ctx, axis=-1).reshape(g * n, d)       # (g·n, d)
 
-    proj = jax.lax.dot_general(o, projw_ref[...], (((1,), (0,)), ((), ())),
+    proj = _dot(o, projw_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     proj = proj + projb_ref[0].astype(jnp.float32)
     proj = proj * ls_ref[0].astype(jnp.float32)
@@ -110,7 +122,7 @@ def _mlp_kernel(x_ref, nsc_ref, nbi_ref, fc1w_ref, fc1b_ref, fc2w_ref,
         y_scr[...] = _layernorm(x, nsc_ref[0], nbi_ref[0]).astype(cd)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    h = jax.lax.dot_general(y_scr[...], fc1w_ref[...],
+    h = _dot(y_scr[...], fc1w_ref[...],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = h + fc1b_ref[0].astype(jnp.float32)
@@ -118,7 +130,7 @@ def _mlp_kernel(x_ref, nsc_ref, nbi_ref, fc1w_ref, fc1b_ref, fc2w_ref,
         h = 0.5 * h * (1.0 + _erf(h * (1.0 / math.sqrt(2.0))))
     else:
         h = jax.nn.gelu(h, approximate=True)
-    acc_scr[...] += jax.lax.dot_general(h.astype(cd), fc2w_ref[...],
+    acc_scr[...] += _dot(h.astype(cd), fc2w_ref[...],
                                         (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 

@@ -131,6 +131,39 @@ def test_stacked_scan_matches_unrolled():
                                atol=1e-5)
 
 
+def test_fused_block_matches_xla(monkeypatch):
+    """Fused Pallas block kernels (attn + chunked MLP) vs the XLA path, in
+    the Pallas interpreter on CPU; covers LayerScale and exact-erf GELU."""
+    from paths_tpu.encoders.vit import stack_vit_blocks
+    from paths_tpu.kernels import vit_fused
+
+    monkeypatch.setattr(vit_fused, "INTERPRET", True)
+    spec = small_spec(embed_dim=32, layer_scale=True, depth=2, num_heads=2)
+    _, j = _vit_pair(spec, seed=7)
+    j = stack_vit_blocks(j)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
+    ref = vit_apply(j, imgs, compute_dtype=jnp.float32, attn_impl="xla")
+    out = vit_apply(j, imgs, compute_dtype=jnp.float32, attn_impl="fused")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_block_no_layerscale(monkeypatch):
+    """ls=None path (Kaiko-style specs) through the fused kernels."""
+    from paths_tpu.encoders.vit import stack_vit_blocks
+    from paths_tpu.kernels import vit_fused
+
+    monkeypatch.setattr(vit_fused, "INTERPRET", True)
+    spec = small_spec(embed_dim=32, depth=1, num_heads=2)
+    _, j = _vit_pair(spec, seed=8)
+    j = stack_vit_blocks(j)
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    ref = vit_apply(j, imgs, compute_dtype=jnp.float32, attn_impl="xla")
+    out = vit_apply(j, imgs, compute_dtype=jnp.float32, attn_impl="fused")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_registry_random_init_shapes():
     from paths_tpu.encoders.registry import from_name
 
