@@ -111,6 +111,92 @@ def bench_encoder(batch_size: int = 256, iters: int = 5) -> float:
     return batch_size / ((time.perf_counter() - t0) / iters)
 
 
+def make_synthetic_slide(grid_hw=(32, 40), patch: int = 256,
+                         tissue_fraction: float = 0.55, seed: int = 0):
+    """H&E-like synthetic base image at 10x: bright glass background with
+    darker pink/purple tissue cells, laid out per (patch x patch) grid cell
+    so Otsu keeps ~tissue_fraction of cells at full power."""
+    gh, gw = grid_hw
+    h, w = gh * patch, gw * patch
+    rng = np.random.default_rng(seed)
+    tissue_cells = rng.uniform(size=(gh, gw)) < tissue_fraction
+    tissue_px = np.kron(tissue_cells, np.ones((patch, patch), bool))
+    tex = rng.integers(0, 60, (h, w), dtype=np.uint8)
+    img = np.empty((h, w, 3), np.uint8)
+    img[..., 0] = np.where(tissue_px, 150 + tex // 2, 246 + tex // 8)
+    img[..., 1] = np.where(tissue_px, 90 + tex // 2, 246 + tex // 8)
+    img[..., 2] = np.where(tissue_px, 160 + tex // 2, 248 + tex // 8)
+    return img
+
+
+def vit_flops_per_image(spec) -> float:
+    """Forward FLOPs (2 x MACs) per image for a ViT spec: patch embed +
+    depth x (qkv, attention, out-proj, mlp). ViT-L/16@224 -> ~123 GF."""
+    n = spec.num_patches + 1 + getattr(spec, "num_reg_tokens", 0)
+    d, m = spec.embed_dim, spec.mlp_hidden
+    per_block = 8 * n * d * d + 4 * n * n * d + 4 * n * d * m
+    embed = 2 * n * spec.patch_size**2 * 3 * d
+    return float(spec.depth * per_block + embed)
+
+
+# bf16 peak TFLOP/s by PJRT device kind prefix (for an MFU figure)
+_PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12}
+
+
+def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
+                     threads: int = 8, encoder: str = "UNI"):
+    """BASELINE.md's north-star path end-to-end: synthetic WSI pyramid ->
+    tissue mask -> patch reads -> ViT-L encode -> feature grids, for the
+    flagship magnifications 0.625x..10x (reference hot loop:
+    `preprocess/preprocess.py:27-110`). Returns slides/hour, patches/s,
+    encoder MFU, and a decode-vs-encode wall breakdown."""
+    from paths_tpu.encoders import vit
+    from paths_tpu.encoders.registry import from_name
+    from paths_tpu.preprocess.pipeline import process_level
+    from paths_tpu.preprocess.wsi import ArrayWSI
+
+    encode, dim, _ = from_name(encoder)
+    spec = {"uni": vit.UNI, "virchow2": vit.VIRCHOW2,
+            "kaiko-vits16": vit.KAIKO_VITS16}.get(encoder.lower(), vit.UNI)
+    wsi = ArrayWSI(make_synthetic_slide(grid_hw), base_power=10.0)
+    powers = [0.625, 1.25, 2.5, 5.0, 10.0]
+
+    def run(encode_fn):
+        t0 = time.perf_counter()
+        patches = 0
+        for p in powers:
+            grid = process_level(wsi, encode_fn, dim, p,
+                                 batch_size=batch_size, threads=threads)
+            patches += int((np.abs(grid).sum(-1) > 0).sum())
+        return time.perf_counter() - t0, patches
+
+    run(encode)                      # compile + warm every level shape
+    t_full, patches = min(run(encode) for _ in range(2))
+
+    # no-compute pass (mask + patch reads + H2D staging, no encode):
+    # the host/transfer share of the wall. On tunneled-TPU dev hosts the
+    # H2D link (~30 MB/s) dominates; on production hosts (PCIe) the
+    # thread-pool reads do.
+    def null_encode(arr):
+        return np.zeros((arr.shape[0], dim), np.float32)
+
+    t_decode, _ = run(null_encode)
+    flops = vit_flops_per_image(spec)
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
+                None)
+    pps = patches / t_full
+    return {
+        "preprocess_slides_per_hour": round(3600.0 / t_full, 1),
+        "preprocess_patches_per_sec": round(pps, 1),
+        "preprocess_patches_per_slide": patches,
+        "preprocess_host_decode_h2d_s": round(t_decode, 2),
+        "preprocess_total_s": round(t_full, 2),
+        "preprocess_encoder_mfu": round(pps * flops / peak, 3) if peak
+        else None,
+    }
+
+
 def bench_reference_torch(cfg: Config, seed: int = 0) -> float:
     """Reference-style torch training step (per-slide host recursion) on
     this host, seconds per step, normalized to batch size B."""
@@ -203,6 +289,12 @@ def main():
         enc_ips = None
 
     try:
+        pre = bench_preprocess()
+    except Exception as e:
+        print(f"preprocess bench failed: {e}", file=sys.stderr)
+        pre = {}
+
+    try:
         t_ref = bench_reference_torch(cfg)
         ref_sps = B / t_ref
         vs = tpu_sps / ref_sps
@@ -218,6 +310,7 @@ def main():
         "tpu_step_ms": round(t_tpu * 1e3, 2),
         "baseline_slides_per_sec_torch_host": round(ref_sps, 2) if ref_sps else None,
         "uni_vitl_encode_img_per_sec": round(enc_ips, 1) if enc_ips else None,
+        **pre,
         "device": str(jax.devices()[0]),
     }))
 

@@ -119,6 +119,11 @@ def process_level(wsi: WSIReader, encode_fn: Callable, dim: int, power: float,
             imgs = list(pool.map(read_cell, cand[s:e]))
             arr = np.zeros((batch_size, p, p, 3), np.uint8)
             arr[: e - s] = np.stack(imgs)
+            if mesh is None:
+                # issue the H2D copy from the reader thread: the transfer
+                # overlaps the device's encode of the previous batch
+                # instead of serializing inside the dispatch below
+                arr = jax.device_put(arr)
             return arr, s, e
 
         # software pipeline: read batch k+1 while the device encodes k
@@ -131,8 +136,16 @@ def process_level(wsi: WSIReader, encode_fn: Callable, dim: int, power: float,
             emb = encode(arr)          # async dispatch
             in_flight.append((emb, s, e))
 
-        for emb, s, e in in_flight:
-            emb = np.asarray(emb)[: e - s]
+        # drain with ONE device->host transfer for the whole level: on
+        # tunneled devices each np.asarray roundtrip costs ~0.1-0.5s of
+        # latency regardless of size, which dominates at many batches
+        import jax.numpy as jnp
+
+        embs = [e for e, _, _ in in_flight]
+        emb_all = np.asarray(embs[0] if len(embs) == 1
+                             else jnp.concatenate(embs))
+        for bi, (_, s, e) in enumerate(in_flight):
+            emb = emb_all[bi * batch_size: bi * batch_size + (e - s)]
             rs, cs = cand[s:e, 0], cand[s:e, 1]
             grid[rs, cs] = emb
     finally:

@@ -78,6 +78,7 @@ class ArrayWSI:
         self.base = np.asarray(base_image, np.uint8)
         self.base_power = float(base_power)
         self.path = path
+        self._levels: dict = {}  # power -> resampled image cache
 
     def objective_power(self) -> float:
         return self.base_power
@@ -91,12 +92,19 @@ class ArrayWSI:
         h, w = self.slide_dimensions(power)
         if (h, w) == self.base.shape[:2]:
             return self.base
-        # nearest-neighbour resample (deterministic, cheap, fine for tests)
+        cached = self._levels.get(power)
+        if cached is not None:
+            return cached
+        # nearest-neighbour resample (deterministic, cheap, fine for tests),
+        # cached per power: read_rect is called once per patch, and pyramids
+        # hold few distinct powers but many patches.
         ys = np.clip((np.arange(h) * self.base.shape[0] / h).astype(int), 0,
                      self.base.shape[0] - 1)
         xs = np.clip((np.arange(w) * self.base.shape[1] / w).astype(int), 0,
                      self.base.shape[1] - 1)
-        return self.base[np.ix_(ys, xs)]
+        img = self.base[np.ix_(ys, xs)]
+        self._levels[power] = img
+        return img
 
     def read_rect(self, loc, size, power) -> np.ndarray:
         img = self._at_power(power)
