@@ -77,8 +77,17 @@ def main():
     bag0, tables, labels = to_global((bag0, tables, labels), P("data"))
 
     update, _ = make_step_fns(cfg, tx)
-    params, opt_state, loss, _ = update(params, opt_state, bag0, tables,
-                                        labels, jax.random.PRNGKey(0))
+    # AOT-compile BEFORE executing: each worker compiles the big step
+    # independently (minutes of skew on a loaded single-core host), but
+    # gloo arms its ~30s rendezvous windows at execution start. Compile
+    # first, then barrier, then execute — post-barrier skew is tiny, so
+    # every in-program rendezvous is tightly aligned on both workers.
+    rng = jax.random.PRNGKey(0)
+    compiled = update.lower(params, opt_state, bag0, tables, labels,
+                            rng).compile()
+    sync_global_devices("paths_tpu_multihost_compiled")
+    params, opt_state, loss, _ = compiled(params, opt_state, bag0, tables,
+                                          labels, rng)
     jax.block_until_ready(loss)
     assert bool(jax.numpy.isfinite(loss)), loss
     print(f"MULTIHOST_LOSS={float(loss):.6f}")

@@ -52,15 +52,18 @@ def test_two_process_dp_step():
     # gloo's rendezvous KV store has a fixed ~30s handshake timeout; on a
     # loaded single-core host one worker can miss it while the other is
     # still importing, so allow one relaunch before calling it a failure
-    for attempt in range(2):
+    for attempt in range(3):
         procs, results = _launch_workers()
         if all(p.returncode == 0 for p in procs):
             break
-        transient = any("Gloo context initialization failed" in err
-                        for _, err in results)
-        if attempt == 1 or not transient:
-            out, err = results[0] if procs[0].returncode else results[1]
-            raise AssertionError(f"worker failed:\n{out}\n{err[-3000:]}")
+        transient = any(s in err for _, err in results
+                        for s in ("Gloo context initialization failed",
+                                  "DEADLINE_EXCEEDED"))
+        if attempt == 2 or not transient:
+            tails = "\n---\n".join(
+                f"worker {i} rc={p.returncode}:\n{out}\n{err[-2000:]}"
+                for i, (p, (out, err)) in enumerate(zip(procs, results)))
+            raise AssertionError(f"workers failed:\n{tails}")
 
     losses = []
     for out, _ in results:
