@@ -147,9 +147,13 @@ def _row(a):
 
 
 def fused_attn_block(x, norm_scale, norm_bias, qkv_w, qkv_b, proj_w, proj_b,
-                     ls, *, num_heads: int, group: int = 4):
+                     ls, *, num_heads: int, group: int = 1):
     """x: (B, N, D) -> LN/qkv/attention/proj/LayerScale/residual, fused.
-    `ls` may be None (no LayerScale): pass ones."""
+    `ls` may be None (no LayerScale): pass ones.
+
+    `group` = images per grid step. Measured on v5e (ViT-L, B=256, bf16):
+    group=1 runs ~7% faster than 4 and ~25% faster than 8 — the smaller
+    working set pipelines better than the extra weight-DMA reuse saves."""
     b, n, d = x.shape
     g = math.gcd(group, b)
     if ls is None:
@@ -176,11 +180,16 @@ def fused_attn_block(x, norm_scale, norm_bias, qkv_w, qkv_b, proj_w, proj_b,
 
 
 def fused_mlp_block(x, norm_scale, norm_bias, fc1_w, fc1_b, fc2_w, fc2_b,
-                    ls, *, exact_gelu: bool = True, group: int = 4,
-                    num_chunks: int = 4):
+                    ls, *, exact_gelu: bool = True, group: int = 1,
+                    num_chunks: int = 1):
     """x: (B, N, D) -> LN/fc1/GELU/fc2/LayerScale/residual, fused. The
     hidden dim is chunked so each step's fc1/fc2 weight tiles are
-    (D, H/nc)/(H/nc, D); chunk results accumulate in VMEM scratch."""
+    (D, H/nc)/(H/nc, D); chunk results accumulate in VMEM scratch.
+
+    Defaults measured on v5e (ViT-L, B=256, bf16): group=1 with the whole
+    16MB of bf16 MLP weights resident (num_chunks=1) is ~7% faster than
+    (4, 4)-chunked. Raise num_chunks for models whose fc1+fc2 weight
+    tiles at the compute dtype exceed ~1/3 of VMEM."""
     b, n, d = x.shape
     hidden = fc1_w.shape[1]
     g = math.gcd(group, b)
