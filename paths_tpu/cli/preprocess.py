@@ -18,7 +18,7 @@ import argparse
 import os
 
 from paths_tpu.data.feature_store import FeatureStore
-from paths_tpu.preprocess.pipeline import process_slide
+from paths_tpu.preprocess.pipeline import process_slides
 
 
 def main(argv=None):
@@ -75,16 +75,16 @@ def main(argv=None):
     print(f"Preprocessing {len(slide_files)} slides "
           f"({args.model}, dim {dim}, powers {args.magnifications})")
 
-    for i, fname in enumerate(slide_files):
-        slide_id = ".".join(fname.split(".")[:-1])
-        if args.verbose:
-            print(f"[{i + 1}/{len(slide_files)}] {slide_id}")
-        process_slide(
-            os.path.join(args.dir, fname), slide_id, encode, dim,
-            args.magnifications, store, patch_size=args.patch,
-            tissue_threshold=args.tissue_threshold, downscale=args.downscale,
-            batch_size=args.batch, threads=args.threads, mesh=mesh,
-            default_power=args.default_power, verbose=args.verbose)
+    items = [(os.path.join(args.dir, fname),
+              ".".join(fname.split(".")[:-1])) for fname in slide_files]
+    # pipelined across slides: the producer thread decodes/stages slide
+    # k+1's patches while the device encodes slide k
+    process_slides(
+        items, encode, dim, args.magnifications, store,
+        patch_size=args.patch, tissue_threshold=args.tissue_threshold,
+        downscale=args.downscale, batch_size=args.batch,
+        threads=args.threads, mesh=mesh, default_power=args.default_power,
+        verbose=args.verbose)
 
 
 if __name__ == "__main__":

@@ -72,25 +72,72 @@ def _make_encode_jit(encode_fn: Callable, mesh=None):
     return sharded
 
 
-def process_level(wsi: WSIReader, encode_fn: Callable, dim: int, power: float,
-                  *, patch_size: int = 256, tissue_threshold: float = 0.1,
-                  downscale: int = 4, batch_size: int = 64, threads: int = 8,
-                  camelyon: bool = False, mesh=None,
-                  verbose: bool = False) -> np.ndarray:
-    """One (slide, magnification) -> (rows/P, cols/P, D) float32 grid."""
+def _level_plan(wsi: WSIReader, power: float, patch_size: int,
+                tissue_threshold: float, downscale: int, camelyon: bool):
+    """Host stage 1 for one (slide, magnification): Otsu mask once at
+    power/downscale, tissue proportions for all cells via integral
+    images. Returns (n_rows, n_cols, candidate (row, col) array)."""
     p = patch_size
     rows, cols = wsi.slide_dimensions(power)
     rows, cols = next_multiple(rows, p), next_multiple(cols, p)
     n_rows, n_cols = rows // p, cols // p
-
-    # one Otsu mask for the whole level at power/downscale
     mimg = wsi.read_rect((0, 0), (rows // downscale, cols // downscale),
                          power / downscale)
     if camelyon:
         mimg = camelyon_map(mimg)
     mask = tissue_mask(mimg)
     props = cell_tissue_proportions(mask, p // downscale, n_rows, n_cols)
-    cand = np.argwhere(props > tissue_threshold)
+    return n_rows, n_cols, np.argwhere(props > tissue_threshold)
+
+
+def _read_batch(wsi: WSIReader, cand: np.ndarray, bi: int, power: float,
+                patch_size: int, batch_size: int, pool: ThreadPoolExecutor,
+                camelyon: bool, stage: bool):
+    """Host stage 2: read one padded patch batch (thread-pooled rects).
+    With `stage`, the H2D copy is issued here — from the reader thread —
+    so it overlaps the device's encode of the previous batch."""
+    p = patch_size
+
+    def read_cell(rc):
+        r, c = rc
+        img = wsi.read_rect((r * p, c * p), (p, p), power)
+        return camelyon_map(img) if camelyon else img
+
+    s = bi * batch_size
+    e = min(s + batch_size, len(cand))
+    imgs = list(pool.map(read_cell, cand[s:e]))
+    arr = np.zeros((batch_size, p, p, 3), np.uint8)
+    arr[: e - s] = np.stack(imgs)
+    if stage:
+        arr = jax.device_put(arr)
+    return arr, s, e
+
+
+def _drain_level(in_flight, cand, grid, batch_size: int) -> None:
+    """Scatter a level's embeddings with ONE device->host transfer: on
+    tunneled devices each np.asarray roundtrip costs ~0.1-0.5s of latency
+    regardless of size, which dominates at many batches."""
+    import jax.numpy as jnp
+
+    if not in_flight:
+        return
+    embs = [e for e, _, _ in in_flight]
+    emb_all = np.asarray(embs[0] if len(embs) == 1
+                         else jnp.concatenate(embs))
+    for bi, (_, s, e) in enumerate(in_flight):
+        emb = emb_all[bi * batch_size: bi * batch_size + (e - s)]
+        rs, cs = cand[s:e, 0], cand[s:e, 1]
+        grid[rs, cs] = emb
+
+
+def process_level(wsi: WSIReader, encode_fn: Callable, dim: int, power: float,
+                  *, patch_size: int = 256, tissue_threshold: float = 0.1,
+                  downscale: int = 4, batch_size: int = 64, threads: int = 8,
+                  camelyon: bool = False, mesh=None,
+                  verbose: bool = False) -> np.ndarray:
+    """One (slide, magnification) -> (rows/P, cols/P, D) float32 grid."""
+    n_rows, n_cols, cand = _level_plan(wsi, power, patch_size,
+                                       tissue_threshold, downscale, camelyon)
     if verbose:
         print(f"  power {power}: {len(cand)}/{n_rows * n_cols} cells pass "
               f"tissue threshold")
@@ -100,54 +147,23 @@ def process_level(wsi: WSIReader, encode_fn: Callable, dim: int, power: float,
         return grid
 
     encode = _make_encode_jit(encode_fn, mesh)
-
-    def read_cell(rc):
-        r, c = rc
-        img = wsi.read_rect((r * p, c * p), (p, p), power)
-        if camelyon:
-            img = camelyon_map(img)
-        return img
-
     pool = ThreadPoolExecutor(max_workers=threads)
     try:
-        n = len(cand)
-        n_batches = math.ceil(n / batch_size)
-
-        def load_batch(bi):
-            s = bi * batch_size
-            e = min(s + batch_size, n)
-            imgs = list(pool.map(read_cell, cand[s:e]))
-            arr = np.zeros((batch_size, p, p, 3), np.uint8)
-            arr[: e - s] = np.stack(imgs)
-            if mesh is None:
-                # issue the H2D copy from the reader thread: the transfer
-                # overlaps the device's encode of the previous batch
-                # instead of serializing inside the dispatch below
-                arr = jax.device_put(arr)
-            return arr, s, e
+        n_batches = math.ceil(len(cand) / batch_size)
 
         # software pipeline: read batch k+1 while the device encodes k
-        pending = pool.submit(load_batch, 0)
-        in_flight = []  # (future-result embeddings, s, e)
+        pending = pool.submit(_read_batch, wsi, cand, 0, power, patch_size,
+                              batch_size, pool, camelyon, mesh is None)
+        in_flight = []  # (in-flight embeddings, s, e)
         for bi in range(n_batches):
             arr, s, e = pending.result()
             if bi + 1 < n_batches:
-                pending = pool.submit(load_batch, bi + 1)
-            emb = encode(arr)          # async dispatch
-            in_flight.append((emb, s, e))
+                pending = pool.submit(_read_batch, wsi, cand, bi + 1, power,
+                                      patch_size, batch_size, pool, camelyon,
+                                      mesh is None)
+            in_flight.append((encode(arr), s, e))   # async dispatch
 
-        # drain with ONE device->host transfer for the whole level: on
-        # tunneled devices each np.asarray roundtrip costs ~0.1-0.5s of
-        # latency regardless of size, which dominates at many batches
-        import jax.numpy as jnp
-
-        embs = [e for e, _, _ in in_flight]
-        emb_all = np.asarray(embs[0] if len(embs) == 1
-                             else jnp.concatenate(embs))
-        for bi, (_, s, e) in enumerate(in_flight):
-            emb = emb_all[bi * batch_size: bi * batch_size + (e - s)]
-            rs, cs = cand[s:e, 0], cand[s:e, 1]
-            grid[rs, cs] = emb
+        _drain_level(in_flight, cand, grid, batch_size)
     finally:
         pool.shutdown(wait=False)
     return grid
@@ -180,3 +196,97 @@ def process_slide(path: str, slide_id: str, encode_fn: Callable, dim: int,
                 traceback.print_exc()
     finally:
         wsi.close()
+
+
+def process_slides(items: Sequence, encode_fn: Callable, dim: int,
+                   magnifications: Sequence[float], store: FeatureStore, *,
+                   patch_size: int = 256, tissue_threshold: float = 0.1,
+                   downscale: int = 4, batch_size: int = 64, threads: int = 8,
+                   default_power: float = 40.0, mesh=None,
+                   batches_ahead: int = 6, verbose: bool = False) -> None:
+    """Pipelined multi-slide preprocessing: a producer thread walks every
+    (slide, magnification), masks, reads patch batches, and stages them
+    to the device through a bounded queue; the consumer encodes and
+    scatters grids. Host decode of slide k+1 overlaps device encode of
+    slide k — the thread/queue equivalent of the reference's 32-process
+    decode fan-in to one GPU (`preprocess/preprocess.py:154,195-197`).
+    Skip-if-exists resume and per-(slide, power) fault tolerance match
+    `process_slide`.
+
+    :param items: sequence of (path, slide_id)
+    :param batches_ahead: bound on staged batches (host+device memory cap)
+    """
+    import queue
+    import threading
+
+    from paths_tpu.preprocess.wsi import open_wsi
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(batches_ahead, 1))
+    END = ("end", None)
+
+    def produce():
+        pool = ThreadPoolExecutor(max_workers=threads)
+        try:
+            for path, slide_id in items:
+                try:
+                    wsi = open_wsi(path, default_power)
+                except Exception:
+                    q.put(("error", (slide_id, None, traceback.format_exc())))
+                    continue
+                try:
+                    for power in magnifications:
+                        if store.exists(slide_id, power):
+                            continue
+                        try:
+                            n_rows, n_cols, cand = _level_plan(
+                                wsi, power, patch_size, tissue_threshold,
+                                downscale, camelyon=False)
+                            q.put(("level", (slide_id, power, n_rows, n_cols,
+                                             cand)))
+                            nb = math.ceil(len(cand) / batch_size)
+                            for bi in range(nb):
+                                q.put(("batch", _read_batch(
+                                    wsi, cand, bi, power, patch_size,
+                                    batch_size, pool, False, mesh is None)))
+                            q.put(("flush", None))
+                        except Exception:
+                            q.put(("error", (slide_id, power,
+                                             traceback.format_exc())))
+                finally:
+                    wsi.close()
+        finally:
+            pool.shutdown(wait=False)
+            q.put(END)
+
+    threading.Thread(target=produce, daemon=True).start()
+    encode = _make_encode_jit(encode_fn, mesh)
+
+    cur = None          # (slide_id, power, cand, grid, in_flight)
+    while True:
+        kind, payload = q.get()
+        if kind == "end":
+            break
+        if kind == "error":
+            slide_id, power, tb = payload
+            cur = None
+            print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
+            print(tb)
+        elif kind == "level":
+            slide_id, power, n_rows, n_cols, cand = payload
+            grid = np.zeros((n_rows, n_cols, dim), np.float32)
+            cur = (slide_id, power, cand, grid, [])
+            if verbose:
+                print(f"{slide_id} @ {power}: {len(cand)}/{n_rows * n_cols} "
+                      f"cells pass tissue threshold")
+        elif kind == "batch" and cur is not None:
+            arr, s, e = payload
+            cur[4].append((encode(arr), s, e))      # async dispatch
+        elif kind == "flush" and cur is not None:
+            slide_id, power, cand, grid, in_flight = cur
+            try:
+                _drain_level(in_flight, cand, grid, batch_size)
+                store.save(slide_id, power, grid)
+            except Exception:
+                print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
+                traceback.print_exc()
+            cur = None

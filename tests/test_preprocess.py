@@ -134,3 +134,43 @@ def test_preprocess_cli(tmp_path):
     # slide at 2.5x (base 40 assumed for .npy default): 448*2.5/40 = 28 px
     # -> rounded up to one 224 patch
     assert grid.ndim == 3 and grid.shape[2] == 384
+
+
+def test_process_slides_pipelined_matches_serial(tmp_path):
+    """The multi-slide producer/consumer pipeline writes exactly the grids
+    the serial per-slide path writes, honors skip-if-exists, and survives
+    an unreadable slide in the middle of the work list."""
+    from paths_tpu.preprocess.pipeline import process_slides
+
+    encode, dim = _dummy_encoder()
+    paths = []
+    for i, seed in enumerate([0, 1, 2]):
+        img, _ = make_fake_slide(rows=512, cols=640 + 128 * i)
+        p = os.path.join(str(tmp_path), f"s{i}.npy")
+        np.save(p, img)
+        paths.append((p, f"s{i}"))
+
+    ref_store = FeatureStore(str(tmp_path / "ref"), create=True)
+    for p, sid in paths:
+        process_slide(p, sid, encode, dim, [2.5, 5.0], ref_store,
+                      patch_size=128, batch_size=8, threads=2,
+                      default_power=10.0)
+
+    # pipelined run, with a broken path injected mid-list
+    pipe_store = FeatureStore(str(tmp_path / "pipe"), create=True)
+    pipe_store.save("s1", 2.5, np.full((1, 1, dim), 7, np.float32))  # resume
+    items = [paths[0], (os.path.join(str(tmp_path), "missing.npy"), "bad"),
+             paths[1], paths[2]]
+    process_slides(items, encode, dim, [2.5, 5.0], pipe_store,
+                   patch_size=128, batch_size=8, threads=2,
+                   default_power=10.0, batches_ahead=3)
+
+    for _, sid in paths:
+        for power in (2.5, 5.0):
+            got = np.asarray(pipe_store.load(sid, power))
+            if sid == "s1" and power == 2.5:
+                assert (got == 7).all()          # untouched by resume
+                continue
+            np.testing.assert_array_equal(
+                got, np.asarray(ref_store.load(sid, power)))
+    assert not pipe_store.exists("bad", 2.5)
