@@ -23,6 +23,26 @@ from paths_tpu.encoders.vit import ViTSpec
 from paths_tpu.nn.core import Static
 
 
+def _convert_mlp(g, p: str, spec: ViTSpec) -> dict:
+    """MLP weights, transposed to (in, out). SwiGLU hidden dims pad with
+    zeros to spec.mlp_hidden_padded (lane-aligned for the fused kernel;
+    numerically exact — see ViTSpec.mlp_hidden_padded). The packed fc1's
+    gate and value halves pad independently."""
+    fc1_w, fc1_b = g(f"{p}.mlp.fc1.weight").T, g(f"{p}.mlp.fc1.bias")
+    fc2_w, fc2_b = g(f"{p}.mlp.fc2.weight").T, g(f"{p}.mlp.fc2.bias")
+    h, hp = spec.mlp_hidden, spec.mlp_hidden_padded
+    if spec.swiglu and hp != h:
+        pad_w = np.zeros((fc1_w.shape[0], hp - h), fc1_w.dtype)
+        pad_b = np.zeros((hp - h,), fc1_b.dtype)
+        fc1_w = np.concatenate(
+            [fc1_w[:, :h], pad_w, fc1_w[:, h:], pad_w], axis=1)
+        fc1_b = np.concatenate([fc1_b[:h], pad_b, fc1_b[h:], pad_b])
+        fc2_w = np.concatenate(
+            [fc2_w, np.zeros((hp - h, fc2_w.shape[1]), fc2_w.dtype)], axis=0)
+    return {"fc1_w": jnp.asarray(fc1_w), "fc1_b": jnp.asarray(fc1_b),
+            "fc2_w": jnp.asarray(fc2_w), "fc2_b": jnp.asarray(fc2_b)}
+
+
 def vit_from_timm(sd: Mapping[str, np.ndarray], spec: ViTSpec) -> dict:
     g = lambda k: np.asarray(sd[k])
     params = {
@@ -53,12 +73,7 @@ def vit_from_timm(sd: Mapping[str, np.ndarray], spec: ViTSpec) -> dict:
             },
             "norm2": {"scale": jnp.asarray(g(f"{p}.norm2.weight")),
                       "bias": jnp.asarray(g(f"{p}.norm2.bias"))},
-            "mlp": {
-                "fc1_w": jnp.asarray(g(f"{p}.mlp.fc1.weight").T),
-                "fc1_b": jnp.asarray(g(f"{p}.mlp.fc1.bias")),
-                "fc2_w": jnp.asarray(g(f"{p}.mlp.fc2.weight").T),
-                "fc2_b": jnp.asarray(g(f"{p}.mlp.fc2.bias")),
-            },
+            "mlp": _convert_mlp(g, p, spec),
         }
         if spec.layer_scale:
             blk["ls1"] = jnp.asarray(g(f"{p}.ls1.gamma"))

@@ -49,16 +49,16 @@ def _vit_encode(params, images, tspec, compute_dtype, attn_impl="xla"):
 
 
 def _resolve_block_impl(impl: str, spec) -> str:
-    """'auto' -> the fused Pallas block kernels on TPU (the 1.9x encoder
-    path, kernels/vit_fused.py), plain XLA elsewhere. SwiGLU MLPs
-    (Virchow2) stay on XLA until the fused MLP kernel covers them."""
+    """'auto' -> the fused Pallas block kernels on TPU (the 2.2x encoder
+    path, kernels/vit_fused.py; SwiGLU MLPs get the packed-SwiGLU
+    variant), plain XLA elsewhere."""
     if impl != "auto":
         return impl
     try:
         on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
     except Exception:  # noqa: BLE001 — backend probing must never raise
         on_tpu = False
-    return "fused" if on_tpu and not spec.swiglu else "xla"
+    return "fused" if on_tpu else "xla"
 
 
 @partial(jax.jit, static_argnames=("tspec", "compute_dtype"))

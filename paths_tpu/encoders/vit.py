@@ -54,6 +54,17 @@ class ViTSpec:
         return int(self.embed_dim * self.mlp_ratio)
 
     @property
+    def mlp_hidden_padded(self) -> int:
+        """Hidden dim stored in params: SwiGLU hidden rounds up to a
+        lane multiple (128) so the fused Pallas kernel can tile the
+        packed fc1 (Virchow2's 6832 -> 6912). Zero-padding is exact:
+        silu(0)*0 = 0 and zero fc2 rows contribute nothing — both the
+        XLA split-in-half path and the kernel see identical outputs."""
+        if self.swiglu:
+            return -(-self.mlp_hidden // 128) * 128
+        return self.mlp_hidden
+
+    @property
     def out_dim(self) -> int:
         return self.embed_dim * (2 if self.pool == "token+mean" else 1)
 
@@ -110,7 +121,7 @@ def vit_init(key, spec: ViTSpec, dtype=jnp.float32) -> dict:
 
     for i in range(spec.depth):
         bk = [None] * 8
-        h = spec.mlp_hidden
+        h = spec.mlp_hidden_padded
         blk = {
             "norm1": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
             "attn": {
@@ -195,6 +206,7 @@ def _block(blk, x, spec, cd, attn_impl="xla"):
         from paths_tpu.kernels.vit_fused import (
             fused_attn_block,
             fused_mlp_block,
+            fused_swiglu_mlp_block,
         )
 
         w = lambda a: a.astype(cd)
@@ -203,6 +215,11 @@ def _block(blk, x, spec, cd, attn_impl="xla"):
             x, blk["norm1"]["scale"], blk["norm1"]["bias"], w(at["qkv_w"]),
             at["qkv_b"], w(at["proj_w"]), at["proj_b"],
             blk.get("ls1"), num_heads=spec.num_heads)
+        if spec.swiglu:
+            return fused_swiglu_mlp_block(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                w(ml["fc1_w"]), ml["fc1_b"], w(ml["fc2_w"]), ml["fc2_b"],
+                blk.get("ls2"))
         return fused_mlp_block(
             x, blk["norm2"]["scale"], blk["norm2"]["bias"], w(ml["fc1_w"]),
             ml["fc1_b"], w(ml["fc2_w"]), ml["fc2_b"], blk.get("ls2"),
@@ -247,8 +264,6 @@ def vit_apply(params: dict, images: jnp.ndarray,
         reference `image_encoder.py:13-27`)
     """
     spec: ViTSpec = params["spec"].value
-    if attn_impl == "fused" and spec.swiglu:
-        attn_impl = "xla"  # fused MLP kernel doesn't cover SwiGLU yet
     cd = compute_dtype
     b, hh, ww, _ = images.shape
     p = spec.patch_size

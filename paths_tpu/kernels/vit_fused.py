@@ -226,3 +226,83 @@ def fused_mlp_block(x, norm_scale, norm_bias, fc1_w, fc1_b, fc2_w, fc2_b,
         interpret=INTERPRET,
     )(x, _row(norm_scale), _row(norm_bias), fc1_w, _row(fc1_b), fc2_w,
       _row(fc2_b), _row(ls))
+
+
+def _swiglu_kernel(x_ref, nsc_ref, nbi_ref, gate_w_ref, gate_b_ref,
+                   val_w_ref, val_b_ref, fc2w_ref, fc2b_ref, ls_ref, o_ref,
+                   y_scr, acc_scr, *, num_chunks):
+    g, n, d = x_ref.shape
+    cd = x_ref.dtype
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        x = x_ref[...].reshape(g * n, d)
+        y_scr[...] = _layernorm(x, nsc_ref[0], nbi_ref[0]).astype(cd)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    y = y_scr[...]
+    gate = _dot(y, gate_w_ref[...], (((1,), (0,)), ((), ())))
+    gate = gate + gate_b_ref[0].astype(jnp.float32)
+    val = _dot(y, val_w_ref[...], (((1,), (0,)), ((), ())))
+    val = val + val_b_ref[0].astype(jnp.float32)
+    h = (gate * jax.lax.logistic(gate)) * val          # silu(gate) * value
+    acc_scr[...] += _dot(h.astype(cd), fc2w_ref[...], (((1,), (0,)), ((), ())))
+
+    @pl.when(c == num_chunks - 1)
+    def _finalize():
+        x = x_ref[...].reshape(g * n, d).astype(jnp.float32)
+        out = acc_scr[...] + fc2b_ref[0].astype(jnp.float32)
+        out = x + out * ls_ref[0].astype(jnp.float32)
+        o_ref[...] = out.astype(cd).reshape(g, n, d)
+
+
+def fused_swiglu_mlp_block(x, norm_scale, norm_bias, fc1_w, fc1_b, fc2_w,
+                           fc2_b, ls, *, group: int = 1,
+                           num_chunks: int = 1):
+    """SwiGLUPacked variant (Virchow2): LN -> fc1 -> chunk-2 ->
+    silu(gate) * value -> fc2 -> LayerScale -> residual, fused.
+
+    `fc1_w` is the timm-packed (D, 2H) matrix, gate columns first
+    (`timm SwiGLUPacked`); the kernel reads it through TWO BlockSpecs of
+    the same array — one indexing the gate half, one the value half — so
+    the packed layout is never materialized unpacked."""
+    b, n, d = x.shape
+    hidden = fc1_w.shape[1] // 2
+    g = math.gcd(group, b)
+    while hidden % num_chunks:
+        num_chunks -= 1
+    hc = hidden // num_chunks
+    if ls is None:
+        ls = jnp.ones((d,), x.dtype)
+    kernel = functools.partial(_swiglu_kernel, num_chunks=num_chunks)
+    wspec = lambda shape, im: pl.BlockSpec(shape, im)
+    nc = num_chunks
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g, num_chunks),
+        in_specs=[
+            pl.BlockSpec((g, n, d), lambda i, c: (i, 0, 0)),
+            wspec((1, d), lambda i, c: (0, 0)),
+            wspec((1, d), lambda i, c: (0, 0)),
+            # the packed fc1 passed twice: gate tile c, value tile nc + c
+            wspec((d, hc), lambda i, c: (0, c)),
+            wspec((1, hc), lambda i, c: (0, c)),
+            wspec((d, hc), lambda i, c, nc=nc: (0, nc + c)),
+            wspec((1, hc), lambda i, c, nc=nc: (0, nc + c)),
+            wspec((hc, d), lambda i, c: (c, 0)),
+            wspec((1, d), lambda i, c: (0, 0)),
+            wspec((1, d), lambda i, c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, n, d), lambda i, c: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g * n, d), x.dtype),      # ln(x), reused per chunk
+            pltpu.VMEM((g * n, d), jnp.float32),  # fc2 accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(x, _row(norm_scale), _row(norm_bias), fc1_w, _row(fc1_b), fc1_w,
+      _row(fc1_b), fc2_w, _row(fc2_b), _row(ls))

@@ -164,6 +164,24 @@ def test_fused_block_no_layerscale(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_fused_block_swiglu(monkeypatch):
+    """Packed-SwiGLU fused MLP (Virchow2 shape: register tokens,
+    token+mean pool) vs the XLA path in the Pallas interpreter."""
+    from paths_tpu.encoders.vit import stack_vit_blocks
+    from paths_tpu.kernels import vit_fused
+
+    monkeypatch.setattr(vit_fused, "INTERPRET", True)
+    spec = small_spec(embed_dim=32, depth=2, num_heads=2, swiglu=True,
+                      num_reg_tokens=2, pool="token+mean")
+    _, j = _vit_pair(spec, seed=9, pool="token+mean")
+    j = stack_vit_blocks(j)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    ref = vit_apply(j, imgs, compute_dtype=jnp.float32, attn_impl="xla")
+    out = vit_apply(j, imgs, compute_dtype=jnp.float32, attn_impl="fused")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_registry_random_init_shapes():
     from paths_tpu.encoders.registry import from_name
 
