@@ -190,28 +190,32 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _lcm_pad(q, k, v, block_q, block_k, *extra):
-    n = q.shape[2]
-    n_pad = -n % math.lcm(block_q, block_k)
-    if n_pad:
-        pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-        extra = tuple(jnp.pad(e, pad) for e in extra)
-    return (q, k, v, *extra)
+def _pad_seq(block, *xs):
+    """Zero-pad axis 2 of each array to a multiple of `block`."""
+    out = []
+    for x in xs:
+        n_pad = -x.shape[2] % block
+        out.append(jnp.pad(x, [(0, 0), (0, 0), (0, n_pad), (0, 0)])
+                   if n_pad else x)
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def _flash_forward(q, k, v, lengths, *, block_q=256, block_k=512):
-    """Returns (out, lse), both unpadded (lse is (B, H, N))."""
-    b, h, n, d = q.shape
+    """Returns (out, lse), both unpadded (lse is (B, H, Nq)).
+
+    Nq and Nk may differ (cross attention over a query shard vs the full
+    gathered key sequence — `parallel/seq_attention.py`); each pads to
+    its own block multiple. Padded keys are masked by `lengths`; padded
+    queries produce garbage rows that are sliced off."""
+    b, h, nq, d = q.shape
     sm_scale = 1.0 / math.sqrt(d)
 
-    # pad sequence to block multiples (padded keys are masked by `lengths`,
-    # padded queries produce garbage rows that callers never read)
-    q, k, v = _lcm_pad(q, k, v, block_q, block_k)
-    np_ = q.shape[2]
-    num_kb = np_ // block_k
+    q = _pad_seq(block_q, q)
+    k, v = _pad_seq(block_k, k, v)
+    npq, npk = q.shape[2], k.shape[2]
+    num_kb = npk // block_k
 
-    grid = (b, h, np_ // block_q, num_kb)
+    grid = (b, h, npq // block_q, num_kb)
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, num_kb=num_kb,
                           sm_scale=sm_scale),
@@ -240,29 +244,34 @@ def _flash_forward(q, k, v, lengths, *, block_q=256, block_k=512):
         ),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, npq, 1), jnp.float32),
         ),
         compiler_params=_DIMS4,
         interpret=INTERPRET,
     )(lengths.astype(jnp.int32), q, k, v)
-    return out[:, :, :n], lse[:, :, :n, 0]
+    return out[:, :, :nq], lse[:, :, :nq, 0]
 
 
 def _flash_backward(q, k, v, lengths, out, lse, g, *, block_q=256,
                     block_k=512):
-    """Block-wise dq/dk/dv — O(block) memory like the forward."""
-    b, h, n, d = q.shape
+    """Block-wise dq/dk/dv — O(block) memory like the forward.
+
+    Handles Nq != Nk like the forward. Zero-padded query rows carry
+    zero-padded dO, so their p-weighted contributions to dk/dv vanish
+    identically; padded dq/dk rows are sliced off."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
     sm_scale = 1.0 / math.sqrt(d)
     lengths = lengths.astype(jnp.int32)
 
-    q, k, v, g_p, out_p = _lcm_pad(q, k, v, block_q, block_k, g, out)
-    np_ = q.shape[2]
-    pad3 = [(0, 0), (0, 0), (0, np_ - n)]
-    lse_p = jnp.pad(lse, pad3)[..., None]                     # (B, H, Np, 1)
+    q, g_p, out_p = _pad_seq(block_q, q, g, out)
+    k, v = _pad_seq(block_k, k, v)
+    npq, npk = q.shape[2], k.shape[2]
+    lse_p = jnp.pad(lse, [(0, 0), (0, 0), (0, npq - nq)])[..., None]
     delta = jnp.sum(g_p.astype(jnp.float32) * out_p.astype(jnp.float32),
-                    axis=-1, keepdims=True)                   # (B, H, Np, 1)
+                    axis=-1, keepdims=True)                   # (B, H, Npq, 1)
 
-    num_qb, num_kb = np_ // block_q, np_ // block_k
+    num_qb, num_kb = npq // block_q, npk // block_k
 
     qblk = pl.BlockSpec((1, 1, block_q, d),
                         lambda b, h, qb, kb, *_: (b, h, qb, 0))
@@ -310,7 +319,7 @@ def _flash_backward(q, k, v, lengths, out, lse, g, *, block_q=256,
         interpret=INTERPRET,
     )(lengths, q, k, v, g_p, lse_p, delta)
 
-    return dq[:, :, :n], dk[:, :, :n], dv[:, :, :n]
+    return dq[:, :, :nq], dk[:, :, :nk], dv[:, :, :nk]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
