@@ -107,10 +107,10 @@ class Config:
     # dtype used for matmuls/attention ("float32" or "bfloat16"); params are fp32
     compute_dtype: str = "float32"
     # "xla" (default): XLA's fused attention. "pallas": the masked
-    # flash-attention kernel (O(block) memory; isolated it is 16-23x
-    # faster than XLA at 8k+ keys in bf16, but full-N row residency can
-    # exceed v5e VMEM inside large jitted programs). "auto": pallas only
-    # inside the safe 4096..6144-key window.
+    # flash-attention kernel (O(block) VMEM — K/V stream through one
+    # block per grid step; 23x over XLA at 8k keys in bf16, and the only
+    # option at 16k+ where XLA's score matrix exceeds HBM). "auto":
+    # pallas for any bag of >= 4096 keys on TPU.
     attention_impl: str = "xla"
     # dtype for feature tables / bags in HBM ("float32" or "bfloat16";
     # bf16 halves HBM residency and host->device traffic)
@@ -128,6 +128,9 @@ class Config:
     static_shapes: bool = True
     # data-parallel mesh size; None = use all available devices
     mesh_shape: Optional[List[int]] = None
+    # "npz" (default, flat-array files) or "orbax" (Orbax
+    # StandardCheckpointer tree: sharded-array aware, multi-host safe)
+    checkpoint_backend: str = "npz"
 
     def __post_init__(self):
         if isinstance(self.top_k_patches, int):

@@ -284,7 +284,8 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         if (config.save_epochs and e % config.save_epochs == 0
                 and not config.early_stopping):
             train_stats["epoch"] = e + 1
-            save_state(model_dir, params, opt_state, train_stats)
+            save_state(model_dir, params, opt_state, train_stats,
+                       backend=config.checkpoint_backend)
 
         if e % config.eval_epochs == 0 and val_ds is not None and len(val_ds):
             run_eval(val_ds, val_eval)
@@ -296,7 +297,8 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                     and e >= config.min_epochs):
                 best_val_score = val_score
                 train_stats["epoch"] = e + 1
-                save_state(model_dir, params, opt_state, train_stats)
+                save_state(model_dir, params, opt_state, train_stats,
+                       backend=config.checkpoint_backend)
 
     if config.early_stopping:
         params, opt_state, s = load_state(model_dir, params, opt_state,
@@ -307,7 +309,8 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
             print(f"Early stopping: loading from epoch {s['epoch']}")
 
     train_stats["epoch"] = config.num_epochs
-    save_state(model_dir, params, opt_state, train_stats)
+    save_state(model_dir, params, opt_state, train_stats,
+                       backend=config.checkpoint_backend)
 
     test_eval = make_evaluator(config, "test")
     run_eval(test_ds, test_eval)

@@ -5,10 +5,16 @@ a `train_stats` dict (epoch + per-epoch metric histories) into the model
 directory; `load_state` restores both, returning `{"epoch": 1}` on a fresh
 directory; the train loop resumes from `train_stats["epoch"]`.
 
-Format here: `model.npz` / `opt.npz` (flat key-path -> array; robust,
-dependency-free, works for any params pytree) + `train_stats.json`.
+Formats:
+  * `model.npz` / `opt.npz` (default; flat key-path -> array; robust,
+    dependency-free, works for any params pytree) + `train_stats.json`
+  * `backend="orbax"`: an Orbax StandardCheckpointer tree under
+    `<root>/orbax` — the canonical TPU checkpoint layout (sharded-array
+    aware, multi-host safe), for deployments that feed checkpoints to
+    other JAX tooling
 A torch `model.pt` present in the directory (a reference checkpoint) is
-loaded transparently via `paths_tpu.convert`.
+loaded transparently via `paths_tpu.convert`. `load_state` auto-detects
+whichever format is present.
 """
 from __future__ import annotations
 
@@ -47,13 +53,33 @@ def _unflatten(template, flat: Dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _orbax_dir(root_path: str) -> str:
+    return os.path.join(os.path.abspath(root_path), "orbax")
+
+
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
 def save_state(root_path: str, params, opt_state=None,
-               train_stats: Optional[dict] = None) -> None:
+               train_stats: Optional[dict] = None,
+               backend: str = "npz") -> None:
     print(f"Saving to {root_path}...")
     os.makedirs(root_path, exist_ok=True)
-    np.savez(os.path.join(root_path, "model.npz"), **_flatten(params))
-    if opt_state is not None:
-        np.savez(os.path.join(root_path, "opt.npz"), **_flatten(opt_state))
+    if backend == "orbax":
+        state = {"params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        ckpt = _orbax_checkpointer()
+        ckpt.save(_orbax_dir(root_path), state, force=True)
+        ckpt.wait_until_finished()
+    else:
+        np.savez(os.path.join(root_path, "model.npz"), **_flatten(params))
+        if opt_state is not None:
+            np.savez(os.path.join(root_path, "opt.npz"),
+                     **_flatten(opt_state))
     if train_stats is not None:
         with open(os.path.join(root_path, "train_stats.json"), "w") as f:
             json.dump(train_stats, f)
@@ -66,7 +92,19 @@ def load_state(root_path: str, params, opt_state=None,
     npz_path = os.path.join(root_path, "model.npz")
     pt_path = os.path.join(root_path, "model.pt")
 
-    if os.path.isfile(npz_path):
+    if os.path.isdir(_orbax_dir(root_path)):
+        import orbax.checkpoint as ocp
+
+        template = {"params": params}
+        if opt_state is not None:
+            template["opt_state"] = opt_state
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, template)
+        restored = _orbax_checkpointer().restore(
+            _orbax_dir(root_path), abstract)
+        params = restored["params"]
+        opt_state = restored.get("opt_state", opt_state)
+    elif os.path.isfile(npz_path):
         with np.load(npz_path) as z:
             params = _unflatten(params, dict(z.items()))
     elif os.path.isfile(pt_path):

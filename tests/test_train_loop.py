@@ -170,6 +170,35 @@ def test_state_roundtrip(tmp_path):
     assert stats2["train_loss"][2] == 0.4  # int keys restored from json
 
 
+def test_state_roundtrip_orbax(tmp_path):
+    """Orbax backend: params + optimizer state round-trip, auto-detected
+    by load_state; params pytree contains Static metadata-free leaves."""
+    import jax
+    import optax
+
+    from paths_tpu.models.recursive import recursive_init
+    from paths_tpu.train.loop import make_optimizer
+
+    cfg = tiny_train_config(str(tmp_path))
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    stats = {"epoch": 3, "train_loss": {1: 0.9}}
+    save_state(str(tmp_path), params, opt_state, stats, backend="orbax")
+
+    params2 = recursive_init(jax.random.PRNGKey(1), cfg)
+    opt_state2 = tx.init(params2)
+    params2, opt_state2, stats2 = load_state(str(tmp_path), params2,
+                                             opt_state2)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(opt_state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert stats2["epoch"] == 3
+
+
 def test_cli_train(ds, monkeypatch):
     tmp, cfg, *_ = ds
     mdir = os.path.join(tmp, "model_cli")
