@@ -143,10 +143,12 @@ def make_synthetic_slide(grid_hw=(32, 40), patch: int = 256,
 
 def vit_flops_per_image(spec) -> float:
     """Forward FLOPs (2 x MACs) per image for a ViT spec: patch embed +
-    depth x (qkv, attention, out-proj, mlp). ViT-L/16@224 -> ~123 GF."""
+    depth x (qkv, attention, out-proj, mlp). ViT-L/16@224 -> ~123 GF.
+    SwiGLU MLPs (packed fc1 is D x 2H) cost 6ndh vs GELU's 4ndm."""
     n = spec.num_patches + 1 + getattr(spec, "num_reg_tokens", 0)
     d, m = spec.embed_dim, spec.mlp_hidden
-    per_block = 8 * n * d * d + 4 * n * n * d + 4 * n * d * m
+    mlp = 6 * n * d * m if getattr(spec, "swiglu", False) else 4 * n * d * m
+    per_block = 8 * n * d * d + 4 * n * n * d + mlp
     embed = 2 * n * spec.patch_size**2 * 3 * d
     return float(spec.depth * per_block + embed)
 
@@ -204,7 +206,10 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
         "preprocess_patches_per_slide": patches,
         "preprocess_host_decode_h2d_s": round(t_decode, 2),
         "preprocess_total_s": round(t_full, 2),
-        "preprocess_encoder_mfu": round(pps * flops / peak, 3) if peak
+        # MFU of the WHOLE pipeline wall (host decode + H2D included) —
+        # the encoder's own MFU is the standalone img/s figure; on
+        # tunneled dev hosts the transfer share dominates this number
+        "preprocess_pipeline_mfu": round(pps * flops / peak, 3) if peak
         else None,
     }
 

@@ -48,10 +48,10 @@ def _vit_encode(params, images, tspec, compute_dtype, attn_impl="xla"):
                      attn_impl=attn_impl)
 
 
-def _resolve_block_impl(impl: str, spec) -> str:
+def _resolve_block_impl(impl: str) -> str:
     """'auto' -> the fused Pallas block kernels on TPU (the 2.2x encoder
-    path, kernels/vit_fused.py; SwiGLU MLPs get the packed-SwiGLU
-    variant), plain XLA elsewhere."""
+    path, kernels/vit_fused.py; vit.py routes SwiGLU MLPs to the
+    packed-SwiGLU kernel variant), plain XLA elsewhere."""
     if impl != "auto":
         return impl
     try:
@@ -106,7 +106,7 @@ def from_name(name: str, weights_path: Optional[str] = None,
         # scan-over-stacked-blocks layout: ~depth-times smaller programs
         params = stack_vit_blocks(params)
         params = jax.device_put(params)  # resident once, passed as jit args
-        impl = _resolve_block_impl(block_impl, spec)
+        impl = _resolve_block_impl(block_impl)
 
         def encode(images, params=params):
             return _vit_encode(params, images, tspec, compute_dtype,

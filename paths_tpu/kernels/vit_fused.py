@@ -193,8 +193,11 @@ def fused_mlp_block(x, norm_scale, norm_bias, fc1_w, fc1_b, fc2_w, fc2_b,
     b, n, d = x.shape
     hidden = fc1_w.shape[1]
     g = math.gcd(group, b)
-    while hidden % num_chunks:
-        num_chunks -= 1
+    if num_chunks < 1 or hidden % num_chunks:
+        raise ValueError(
+            f"num_chunks={num_chunks} must divide the MLP hidden dim "
+            f"{hidden} (valid: divisors of {hidden}) — silently changing "
+            "it would break the caller's VMEM budget")
     hc = hidden // num_chunks
     if ls is None:
         ls = jnp.ones((d,), x.dtype)
@@ -270,8 +273,11 @@ def fused_swiglu_mlp_block(x, norm_scale, norm_bias, fc1_w, fc1_b, fc2_w,
     b, n, d = x.shape
     hidden = fc1_w.shape[1] // 2
     g = math.gcd(group, b)
-    while hidden % num_chunks:
-        num_chunks -= 1
+    if num_chunks < 1 or hidden % num_chunks:
+        raise ValueError(
+            f"num_chunks={num_chunks} must divide the SwiGLU hidden dim "
+            f"{hidden} (valid: divisors of {hidden}) — silently changing "
+            "it would break the caller's VMEM budget")
     hc = hidden // num_chunks
     if ls is None:
         ls = jnp.ones((d,), x.dtype)

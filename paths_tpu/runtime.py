@@ -46,9 +46,15 @@ def maybe_init_distributed() -> bool:
     # detector (tests/test_multihost.py exercises this path).
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     if nproc is not None:
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if pid is None:
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not; both "
+                "(plus JAX_COORDINATOR_ADDRESS) are required for explicit "
+                "multi-process initialization")
         jax.distributed.initialize(
             coordinator_address=addr, num_processes=int(nproc),
-            process_id=int(os.environ["JAX_PROCESS_ID"]))
+            process_id=int(pid))
     else:
         jax.distributed.initialize(coordinator_address=addr)
     return True

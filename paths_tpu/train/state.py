@@ -95,15 +95,26 @@ def load_state(root_path: str, params, opt_state=None,
     if os.path.isdir(_orbax_dir(root_path)):
         import orbax.checkpoint as ocp
 
-        template = {"params": params}
-        if opt_state is not None:
-            template["opt_state"] = opt_state
-        abstract = jax.tree_util.tree_map(
-            ocp.utils.to_shape_dtype_struct, template)
-        restored = _orbax_checkpointer().restore(
-            _orbax_dir(root_path), abstract)
+        ckpt = _orbax_checkpointer()
+        saved = ckpt.metadata(_orbax_dir(root_path)).item_metadata.tree
+        abstract = {"params": jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, params)}
+        has_opt = "opt_state" in saved
+        if opt_state is not None and has_opt:
+            abstract["opt_state"] = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, opt_state)
+        elif has_opt:
+            # orbax restore templates must match the SAVED tree exactly;
+            # inference callers pass opt_state=None, so reconstruct the
+            # saved opt_state's abstract shape from checkpoint metadata
+            # and discard the arrays after restore
+            abstract["opt_state"] = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+                saved["opt_state"])
+        restored = ckpt.restore(_orbax_dir(root_path), abstract)
         params = restored["params"]
-        opt_state = restored.get("opt_state", opt_state)
+        if opt_state is not None and has_opt:
+            opt_state = restored["opt_state"]
     elif os.path.isfile(npz_path):
         with np.load(npz_path) as z:
             params = _unflatten(params, dict(z.items()))

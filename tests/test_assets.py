@@ -27,6 +27,15 @@ def test_split_assets_present():
             p = os.path.join(SPLITS, "subtype_classification",
                              f"tcga_{cohort}", f"splits_{fold}.csv")
             assert os.path.isfile(p), p
+            bp = os.path.join(SPLITS, "subtype_classification",
+                              f"tcga_{cohort}", f"splits_{fold}_bool.csv")
+            if cohort == "kidney" and fold == 9:
+                # faithful mirror of the reference: upstream HIPT's
+                # tcga_kidney set itself lacks splits_9_bool.csv
+                # (`/root/reference/data/splits/...` has 29 files)
+                assert not os.path.isfile(bp), "upstream gap got filled?"
+            else:
+                assert os.path.isfile(bp), bp
     manifests = os.listdir(os.path.join(REPO, "data", "gdc_manifests"))
     assert len([m for m in manifests if m.endswith(".txt")]) == 5
 

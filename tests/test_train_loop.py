@@ -198,6 +198,23 @@ def test_state_roundtrip_orbax(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert stats2["epoch"] == 3
 
+    # inference-style load (evaluate/predict/heatmap CLIs): no opt_state
+    # template, yet the checkpoint contains one — must restore params
+    params3 = recursive_init(jax.random.PRNGKey(2), cfg)
+    params3, none_opt, _ = load_state(str(tmp_path), params3)
+    assert none_opt is None
+    np.testing.assert_array_equal(
+        np.asarray(params["procs"][0]["classification"]["w"]),
+        np.asarray(params3["procs"][0]["classification"]["w"]))
+
+    # params-only checkpoint loaded WITH an opt template: opt untouched
+    save_state(str(tmp_path / "ponly"), params, train_stats=stats,
+               backend="orbax")
+    params4 = recursive_init(jax.random.PRNGKey(3), cfg)
+    opt4 = tx.init(params4)
+    params4, opt4b, _ = load_state(str(tmp_path / "ponly"), params4, opt4)
+    assert opt4b is opt4
+
 
 def test_cli_train(ds, monkeypatch):
     tmp, cfg, *_ = ds
