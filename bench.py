@@ -158,43 +158,62 @@ _PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12}
 
 
 def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
-                     threads: int = 8, encoder: str = "UNI"):
-    """BASELINE.md's north-star path end-to-end: synthetic WSI pyramid ->
+                     threads: int = 8, encoder: str = "UNI",
+                     n_slides: int = 2):
+    """BASELINE.md's north-star path end-to-end: synthetic WSI pyramids ->
     tissue mask -> patch reads -> ViT-L encode -> feature grids, for the
-    flagship magnifications 0.625x..10x (reference hot loop:
-    `preprocess/preprocess.py:27-110`). Returns slides/hour, patches/s,
-    encoder MFU, and a decode-vs-encode wall breakdown."""
+    flagship magnifications 0.625x..10x through the production
+    `process_slides` pipeline (cross-slide producer/consumer overlap;
+    reference hot loop `preprocess/preprocess.py:27-110`). Returns
+    slides/hour, patches/s, pipeline MFU, and a host/transfer-vs-encode
+    wall breakdown."""
+    import shutil
+    import tempfile
+
+    from paths_tpu.data.feature_store import FeatureStore
     from paths_tpu.encoders import vit
     from paths_tpu.encoders.registry import from_name
-    from paths_tpu.preprocess.pipeline import process_level
-    from paths_tpu.preprocess.wsi import ArrayWSI
+    from paths_tpu.preprocess.pipeline import process_slides
 
     encode, dim, _ = from_name(encoder)
     spec = {"uni": vit.UNI, "virchow2": vit.VIRCHOW2,
             "kaiko-vits16": vit.KAIKO_VITS16}.get(encoder.lower(), vit.UNI)
-    wsi = ArrayWSI(make_synthetic_slide(grid_hw), base_power=10.0)
     powers = [0.625, 1.25, 2.5, 5.0, 10.0]
 
+    slide_dir = tempfile.mkdtemp(prefix="paths_tpu_bench_slides_")
+    items = []
+    for i in range(n_slides):
+        p = os.path.join(slide_dir, f"s{i}.npy")
+        np.save(p, make_synthetic_slide(grid_hw, seed=i))
+        items.append((p, f"s{i}"))
+
     def run(encode_fn):
+        out = tempfile.mkdtemp(prefix="paths_tpu_bench_store_")
+        store = FeatureStore(out, create=True)
         t0 = time.perf_counter()
-        patches = 0
-        for p in powers:
-            grid = process_level(wsi, encode_fn, dim, p,
-                                 batch_size=batch_size, threads=threads)
-            patches += int((np.abs(grid).sum(-1) > 0).sum())
-        return time.perf_counter() - t0, patches
+        process_slides(items, encode_fn, dim, powers, store,
+                       batch_size=batch_size, threads=threads,
+                       default_power=10.0)
+        dt = time.perf_counter() - t0
+        patches = sum(
+            int((np.abs(np.asarray(store.load(sid, p))).sum(-1) > 0).sum())
+            for _, sid in items for p in powers)
+        shutil.rmtree(out, ignore_errors=True)
+        return dt, patches
 
     run(encode)                      # compile + warm every level shape
     t_full, patches = min(run(encode) for _ in range(3))
 
     # no-compute pass (mask + patch reads + H2D staging, no encode):
     # the host/transfer share of the wall. On tunneled-TPU dev hosts the
-    # H2D link (~30 MB/s) dominates; on production hosts (PCIe) the
-    # thread-pool reads do.
+    # H2D link dominates; on production hosts (PCIe) the reads do.
     def null_encode(arr):
         return np.zeros((arr.shape[0], dim), np.float32)
 
     t_decode = min(run(null_encode)[0] for _ in range(2))
+    shutil.rmtree(slide_dir, ignore_errors=True)
+    t_full, t_decode = t_full / n_slides, t_decode / n_slides
+    patches //= n_slides
     flops = vit_flops_per_image(spec)
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
@@ -282,7 +301,7 @@ def bench_reference_torch(cfg: Config, seed: int = 0) -> float:
     # best-of-N: robust to transient host contention (gives the baseline
     # its best case, keeping vs_baseline conservative)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         step()
         times.append(time.perf_counter() - t0)
