@@ -1,10 +1,12 @@
 """Randomized parity fuzz: fused engine vs the torch reference loop over
 random shapes, K values, background fractions, and model variants.
 
-Selection comparisons are tie-aware: identical all-background patches
-produce exactly tied importances, where torch.topk's pick is arbitrary
-and ours is lowest-index (the documented deviation); such levels are
-checked for set-equality of the NON-tied prefix only.
+Selection comparisons skip the two DOCUMENTED deviations (PARITY.md):
+  * exactly tied importances at the top-K cutoff — torch.topk's pick is
+    arbitrary, ours is lowest-index
+  * the all-background fallback rebuilding a bag WIDER than the static
+    4K child slots — ours caps at 4K, the reference takes every
+    non-background cell (zero-tissue-selection pathology only)
 """
 import numpy as np
 import torch
@@ -20,6 +22,17 @@ def cutoff_tied(importance, mask, k):
     if len(vals) <= k:
         return False
     return bool(np.isclose(vals[k - 1], vals[k], rtol=0, atol=1e-7))
+
+
+def oversize_fallback(ref_batches, top_k, num_levels):
+    """True when the reference's bag at some level holds more patches
+    than the static 4K child slots — only the all-background fallback
+    can do that, and ours caps at 4K (documented deviation)."""
+    for lvl in range(1, num_levels):
+        num = ref_batches[lvl]["num_ims"].numpy()
+        if (num > 4 * top_k[lvl - 1]).any():
+            return True
+    return False
 
 
 def test_fuzz_parity_vs_torch_reference():
@@ -49,7 +62,8 @@ def test_fuzz_parity_vs_torch_reference():
             for j in range(imp.shape[0]):
                 if cutoff_tied(imp[j], mask[j], k):
                     tied = True
-        if tied:
+        if tied or oversize_fallback(ref_batches, cfg.top_k_patches,
+                                     cfg.num_levels):
             continue  # documented deviation territory
 
         for lvl in range(cfg.num_levels):
