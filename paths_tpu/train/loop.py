@@ -215,23 +215,47 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}
         evaluator.register(host_labels, np.asarray(pred)[:n_real], float(loss))
 
+    class _DeferredRegister:
+        """Register batch k's (device-resident) outputs only when batch
+        k+1's are pushed: materializing loss/pred forces a device sync,
+        and doing it one step late lets the host dispatch the next step
+        first so the device queue never drains (the sync then overlaps
+        compute instead of serializing with it — significant on
+        high-dispatch-latency links)."""
+
+        def __init__(self, evaluator):
+            self.ev = evaluator
+            self.pending = None
+
+        def push(self, labels, pred, loss, w):
+            self.flush()
+            self.pending = (labels, pred, loss, w)
+
+        def flush(self):
+            if self.pending is not None:
+                _register(self.ev, *self.pending)
+                self.pending = None
+
     def run_eval(dataset, evaluator):
+        reg = _DeferredRegister(evaluator)
         if streaming:
             for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
                     dataset, batch_size, shuffle=False, seed=0,
                     mesh_size=mesh_size, config=config, mesh=mesh):
                 loss, pred = eng.evaluate(params, bag0, host_tables, labels)
-                _register(evaluator, labels, pred, loss, w)
+                reg.push(labels, pred, loss, w)
                 if not dataset.cache_slides:
                     for s_ in slides:
                         s_.unload()
+            reg.flush()
             return
         for bag0, tables, labels, w in _epoch_batches(
                 dataset, batch_size, shuffle=False, seed=0,
                 mesh_size=mesh_size, config=config, pads=pads):
             bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
             loss, aux = evaluate(params, bag0, tables, labels)
-            _register(evaluator, labels, aux["pred"], loss, w)
+            reg.push(labels, aux["pred"], loss, w)
+        reg.flush()
 
     if verbose:
         print(f"Training starts at epoch {start_epoch} "
@@ -244,6 +268,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         t0 = time.time()
         opt_state = set_lr(opt_state,
                            config.lr * config.lr_decay_per_epoch**(e - 1))
+        reg = _DeferredRegister(train_eval)
 
         if streaming:
             for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
@@ -255,7 +280,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                     params, bag0, host_tables, labels, rng=step_rng,
                     deterministic=False)
                 params, opt_state = opt_apply(grads, opt_state, params)
-                _register(train_eval, labels, pred, loss, w)
+                reg.push(labels, pred, loss, w)
                 if not train_ds.cache_slides:
                     for s_ in slides:
                         s_.unload()
@@ -268,8 +293,9 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                 bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
                 params, opt_state, loss, aux = update(
                     params, opt_state, bag0, tables, labels, step_rng)
-                _register(train_eval, labels, aux["pred"], loss, w)
+                reg.push(labels, aux["pred"], loss, w)
 
+        reg.flush()
         log.log(train_eval.calculate(train_stats, e) | {"epoch": e})
         train_eval.reset()
         if verbose:
