@@ -162,3 +162,44 @@ def test_camelyon_xml_parsing(tmp_path):
     assert len(polys) == 1
     coords, color = polys[0]
     assert coords[0] == (100.5, 200.5) and len(coords) == 3
+
+
+def test_folded_importance_matches_naive_painter():
+    """The vectorized canvas painting (cell-grid scatter + repeat-upsample
+    + fold) must equal a naive per-patch painter implementing the
+    reference's semantics (`heatmap_visualise.py:136-155`): paint
+    imp + eps into each visited patch's depth-0 rectangle per level, then
+    fold child levels into parents with 0.5 weight where the child canvas
+    is nonzero."""
+    from types import SimpleNamespace
+
+    from paths_tpu.viz.heatmap import FOLD_WEIGHT, VISITED_EPS, folded_importance
+
+    rng = np.random.default_rng(0)
+    P = 64
+    H, W = 250, 310                     # not multiples of any patch size
+    L = 3
+    slides, imps = [], []
+    for depth in range(L):
+        size = P >> depth
+        gh, gw = H // size + 1, W // size + 1
+        n = int(rng.integers(1, 8))
+        cells = rng.choice(gh * gw, size=n, replace=False)
+        ys, xs = np.divmod(cells, gw)
+        # locs in depth-d pixel space: multiples of P (recursion invariant)
+        locs = np.stack([ys, xs], 1) * P
+        slides.append(SimpleNamespace(locs=locs))
+        imps.append(rng.normal(size=n).astype(np.float32))
+
+    got = folded_importance(slides, imps, P, (H, W))
+
+    naive = np.zeros((L, H, W))
+    for depth in range(L):
+        size = max(P >> depth, 1)
+        for (y, x), v in zip(np.asarray(slides[depth].locs) // P, imps[depth]):
+            y0, x0 = y * size, x * size
+            naive[depth, y0: y0 + size, x0: x0 + size] = v + VISITED_EPS
+    for depth in range(L - 2, -1, -1):
+        m = naive[depth + 1] != 0
+        naive[depth][m] += naive[depth + 1][m] * FOLD_WEIGHT
+    np.testing.assert_allclose(got, naive[0], atol=1e-12)
