@@ -223,6 +223,19 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
 
     q: "queue.Queue" = queue.Queue(maxsize=max(batches_ahead, 1))
     END = ("end", None)
+    cancelled = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that unblocks when the consumer abandons the loop
+        (exception in encode/store) so the producer thread can exit
+        instead of holding an open WSI handle and staged device buffers."""
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         pool = ThreadPoolExecutor(max_workers=threads)
@@ -231,62 +244,74 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                 try:
                     wsi = open_wsi(path, default_power)
                 except Exception:
-                    q.put(("error", (slide_id, None, traceback.format_exc())))
+                    if not put(("error", (slide_id, None,
+                                          traceback.format_exc()))):
+                        return
                     continue
                 try:
                     for power in magnifications:
+                        if cancelled.is_set():
+                            return
                         if store.exists(slide_id, power):
                             continue
                         try:
                             n_rows, n_cols, cand = _level_plan(
                                 wsi, power, patch_size, tissue_threshold,
                                 downscale, camelyon=False)
-                            q.put(("level", (slide_id, power, n_rows, n_cols,
-                                             cand)))
+                            if not put(("level", (slide_id, power, n_rows,
+                                                  n_cols, cand))):
+                                return
                             nb = math.ceil(len(cand) / batch_size)
                             for bi in range(nb):
-                                q.put(("batch", _read_batch(
-                                    wsi, cand, bi, power, patch_size,
-                                    batch_size, pool, False, mesh is None)))
-                            q.put(("flush", None))
+                                if not put(("batch", _read_batch(
+                                        wsi, cand, bi, power, patch_size,
+                                        batch_size, pool, False,
+                                        mesh is None))):
+                                    return
+                            if not put(("flush", None)):
+                                return
                         except Exception:
-                            q.put(("error", (slide_id, power,
-                                             traceback.format_exc())))
+                            if not put(("error", (slide_id, power,
+                                                  traceback.format_exc()))):
+                                return
                 finally:
                     wsi.close()
         finally:
             pool.shutdown(wait=False)
-            q.put(END)
+            put(END)
 
     threading.Thread(target=produce, daemon=True).start()
     encode = _make_encode_jit(encode_fn, mesh)
 
     cur = None          # (slide_id, power, cand, grid, in_flight)
-    while True:
-        kind, payload = q.get()
-        if kind == "end":
-            break
-        if kind == "error":
-            slide_id, power, tb = payload
-            cur = None
-            print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
-            print(tb)
-        elif kind == "level":
-            slide_id, power, n_rows, n_cols, cand = payload
-            grid = np.zeros((n_rows, n_cols, dim), np.float32)
-            cur = (slide_id, power, cand, grid, [])
-            if verbose:
-                print(f"{slide_id} @ {power}: {len(cand)}/{n_rows * n_cols} "
-                      f"cells pass tissue threshold")
-        elif kind == "batch" and cur is not None:
-            arr, s, e = payload
-            cur[4].append((encode(arr), s, e))      # async dispatch
-        elif kind == "flush" and cur is not None:
-            slide_id, power, cand, grid, in_flight = cur
-            try:
-                _drain_level(in_flight, cand, grid, batch_size)
-                store.save(slide_id, power, grid)
-            except Exception:
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "end":
+                break
+            if kind == "error":
+                slide_id, power, tb = payload
+                cur = None
                 print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
-                traceback.print_exc()
-            cur = None
+                print(tb)
+            elif kind == "level":
+                slide_id, power, n_rows, n_cols, cand = payload
+                grid = np.zeros((n_rows, n_cols, dim), np.float32)
+                cur = (slide_id, power, cand, grid, [])
+                if verbose:
+                    print(f"{slide_id} @ {power}: {len(cand)}/"
+                          f"{n_rows * n_cols} cells pass tissue threshold")
+            elif kind == "batch" and cur is not None:
+                arr, s, e = payload
+                cur[4].append((encode(arr), s, e))      # async dispatch
+            elif kind == "flush" and cur is not None:
+                slide_id, power, cand, grid, in_flight = cur
+                try:
+                    _drain_level(in_flight, cand, grid, batch_size)
+                    store.save(slide_id, power, grid)
+                except Exception:
+                    print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
+                    traceback.print_exc()
+                cur = None
+    finally:
+        cancelled.set()

@@ -55,7 +55,12 @@ class Evaluator(ABC):
 
     @property
     def mean_loss(self) -> float:
-        return self._loss_sum / max(self._loss_n, 1)
+        # nan (not 0.0) when no batch was registered: an empty eval pass
+        # must be visible, not score as a perfect loss (matches the
+        # reference's np.mean([]) -> nan)
+        if self._loss_n == 0:
+            return float("nan")
+        return self._loss_sum / self._loss_n
 
     @abstractmethod
     def register(self, batch: Dict, pred, loss) -> None: ...

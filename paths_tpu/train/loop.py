@@ -26,10 +26,13 @@ from paths_tpu.data.dataset import SlideDataset, collate_batch, union_pads
 from paths_tpu.engine.hierarchy import end2end_loss
 from paths_tpu.models.recursive import recursive_init
 from paths_tpu.parallel.mesh import (
-    make_mesh,
+    data_axis_size,
+    mesh_from_config,
     pad_batch_indices,
     replicate,
+    seq_axis_size,
     shard_batch,
+    shard_train_batch,
 )
 from paths_tpu.train.evaluators import make_evaluator
 from paths_tpu.train.logging import MetricsLogger
@@ -57,14 +60,21 @@ def set_lr(opt_state, lr: float):
     return opt_state
 
 
-def make_step_fns(config: Config, tx):
-    """(update_fn, eval_fn), both jittable."""
+def make_step_fns(config: Config, tx, mesh=None):
+    """(update_fn, eval_fn), both jittable.
+
+    When `mesh` carries a `model` axis of size > 1, the mesh is threaded
+    into the model so attention can route to the sequence-parallel
+    shard_map kernel (engaged by `attention_impl` "auto"/"pallas" —
+    under "xla", GSPMD partitions the attention natively and the mesh
+    is unused)."""
+    seq_mesh = mesh if seq_axis_size(mesh) > 1 else None
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def update(params, opt_state, bag0, tables, labels, rng):
         def lf(p):
             return end2end_loss(p, config, bag0, tables, labels, rng=rng,
-                                deterministic=False)
+                                deterministic=False, seq_mesh=seq_mesh)
 
         (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -74,7 +84,7 @@ def make_step_fns(config: Config, tx):
     @jax.jit
     def evaluate(params, bag0, tables, labels):
         return end2end_loss(params, config, bag0, tables, labels,
-                            deterministic=True)
+                            deterministic=True, seq_mesh=seq_mesh)
 
     return update, evaluate
 
@@ -82,29 +92,46 @@ def make_step_fns(config: Config, tx):
 def _prefetch(iterator, depth: int = 2):
     """Run `iterator` in a background thread with a bounded queue so host
     collation (grid scans, padding, H2D staging) overlaps device compute.
-    Exceptions propagate to the consumer."""
+    Exceptions propagate to the consumer. If the consumer abandons the
+    generator early (exception mid-epoch, generator close), a cancel
+    event unblocks the producer's `q.put` so the thread exits instead of
+    holding staged buffers forever."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     END = object()
+    cancelled = threading.Event()
+
+    def put(item) -> bool:
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(END)
+                if not put(item):
+                    return
+            put(END)
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-            q.put(e)
+            put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancelled.set()
 
 
 def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
@@ -133,7 +160,8 @@ def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
 
 def _epoch_batches_streaming(dataset: SlideDataset, batch_size: int, *,
                              shuffle: bool, seed: int, mesh_size: int,
-                             config: Config, mesh=None, prefetch: int = 2):
+                             config: Config, mesh=None, prefetch: int = 2,
+                             pads=None):
     """Streaming-engine batches: level-0 bag on device (sharded over the
     mesh), per-slide host table dicts for the deeper levels (tables never
     leave host RAM). A background thread loads/collates batch k+1 — the
@@ -149,7 +177,8 @@ def _epoch_batches_streaming(dataset: SlideDataset, batch_size: int, *,
             idx = order[s: s + batch_size].tolist()
             idx, w = pad_batch_indices(idx, mesh_size)
             bag0 = collate_bag0(dataset, idx,
-                                level0_bucket=config.level0_bucket)
+                                level0_bucket=config.level0_bucket,
+                                pads=pads)
             slides = [dataset.slides[i] for i in idx]
             host_tables = [s_.tables for s_ in slides]
             labels = dict(dataset.labels(idx))
@@ -170,15 +199,19 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                logger: Optional[MetricsLogger] = None,
                mesh=None, verbose: bool = True) -> dict:
     log = logger or MetricsLogger(model_dir, config.to_dict(), use_wandb="no")
-    mesh = mesh or make_mesh(config.mesh_shape[0] if config.mesh_shape else None)
-    mesh_size = mesh.devices.size
+    mesh = mesh or mesh_from_config(config)
+    # batches are padded to (and sharded over) the DATA axis; a 2-D mesh's
+    # `model` axis shards each slide's patch dimension instead
+    mesh_size = data_axis_size(mesh)
     streaming = config.engine == "streaming"
 
     # one compiled shape per program across the whole run (train + both
-    # eval splits share the same padded shapes)
+    # eval splits share the same padded shapes). The streaming engine only
+    # pads the level-0 bag (its deeper tables stay host-side), so its
+    # global-pads pass touches one grid per slide.
     pads = None
-    if config.static_shapes and not streaming:
-        pads = union_pads(*(d.global_pads() for d in
+    if config.static_shapes:
+        pads = union_pads(*(d.global_pads(level0_only=streaming) for d in
                             [train_ds, val_ds, test_ds] if d is not None))
 
     params = recursive_init(jax.random.PRNGKey(config.seed), config)
@@ -194,7 +227,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
 
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
-    update, evaluate = make_step_fns(config, tx)
+    update, evaluate = make_step_fns(config, tx, mesh=mesh)
 
     if streaming:
         from paths_tpu.engine.streaming import StreamingEngine
@@ -241,7 +274,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         if streaming:
             for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
                     dataset, batch_size, shuffle=False, seed=0,
-                    mesh_size=mesh_size, config=config, mesh=mesh):
+                    mesh_size=mesh_size, config=config, mesh=mesh, pads=pads):
                 loss, pred = eng.evaluate(params, bag0, host_tables, labels)
                 reg.push(labels, pred, loss, w)
                 if not dataset.cache_slides:
@@ -252,7 +285,8 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         for bag0, tables, labels, w in _epoch_batches(
                 dataset, batch_size, shuffle=False, seed=0,
                 mesh_size=mesh_size, config=config, pads=pads):
-            bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
+            bag0, tables, labels = shard_train_batch(mesh, bag0, tables,
+                                                     labels)
             loss, aux = evaluate(params, bag0, tables, labels)
             reg.push(labels, aux["pred"], loss, w)
         reg.flush()
@@ -274,7 +308,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
             for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
                     train_ds, batch_size, shuffle=True,
                     seed=config.seed * 100_003 + e, mesh_size=mesh_size,
-                    config=config, mesh=mesh):
+                    config=config, mesh=mesh, pads=pads):
                 rng, step_rng = jax.random.split(rng)
                 loss, pred, grads = eng.loss_and_grad(
                     params, bag0, host_tables, labels, rng=step_rng,
@@ -290,7 +324,8 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                     seed=config.seed * 100_003 + e, mesh_size=mesh_size,
                     config=config, pads=pads):
                 rng, step_rng = jax.random.split(rng)
-                bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
+                bag0, tables, labels = shard_train_batch(mesh, bag0, tables,
+                                                         labels)
                 params, opt_state, loss, aux = update(
                     params, opt_state, bag0, tables, labels, step_rng)
                 reg.push(labels, aux["pred"], loss, w)

@@ -35,20 +35,28 @@ def concordance_index_censored(event_indicator: np.ndarray,
     t = np.asarray(event_time, np.float64)
     s = np.asarray(estimate, np.float64)
     assert e.shape == t.shape == s.shape and e.ndim == 1
+    n = t.size
 
-    ti, tj = t[:, None], t[None, :]
-    comp = e[:, None] & ((tj > ti) | ((tj == ti) & ~e[None, :]))
-    np.fill_diagonal(comp, False)
+    # pair matrices are built per row-chunk so peak memory is
+    # O(chunk * n), not O(n^2) — a combined-cohort eval (n ~ 10^4+)
+    # stays a few MB instead of gigabytes
+    chunk = max(1, min(n, 4096 * 1024 // max(n, 1)))
+    comparable = concordant = tied_risk = tied_time2 = 0
+    for a in range(0, n, chunk):
+        bsl = slice(a, min(a + chunk, n))
+        ti, ei, si = t[bsl, None], e[bsl, None], s[bsl, None]
+        comp = ei & ((t[None, :] > ti) | ((t[None, :] == ti) & ~e[None, :]))
+        rows = np.arange(a, bsl.stop)
+        comp[rows - a, rows] = False  # no self-pairs
+        comparable += int(comp.sum())
+        concordant += int((comp & (s[None, :] < si)).sum())
+        tied_risk += int((comp & (s[None, :] == si)).sum())
+        tied_time2 += int(((t[None, :] == ti) & ei & e[None, :]).sum())
 
-    comparable = int(comp.sum())
     if comparable == 0:
         raise NoComparablePairs("Data has no comparable pairs")
-
-    si, sj = s[:, None], s[None, :]
-    concordant = int((comp & (sj < si)).sum())
-    tied_risk = int((comp & (sj == si)).sum())
     discordant = comparable - concordant - tied_risk
-    tied_time = int(((ti == tj) & e[:, None] & e[None, :]).sum() // 2)
+    tied_time = (tied_time2 - int(e.sum())) // 2  # minus diagonal, halved
 
     cindex = (concordant + 0.5 * tied_risk) / comparable
     return cindex, concordant, discordant, tied_risk, tied_time
@@ -65,16 +73,12 @@ def binary_auroc(scores: np.ndarray, labels: np.ndarray) -> float:
     if npos == 0 or nneg == 0:
         return 0.0
 
-    order = np.argsort(s, kind="mergesort")
-    ranks = np.empty_like(s)
-    ranks[order] = np.arange(1, s.size + 1)
-    # average ranks over ties
-    sorted_s = s[order]
-    uniq, start_idx, counts = np.unique(sorted_s, return_index=True,
-                                        return_counts=True)
-    avg = start_idx + (counts + 1) / 2.0  # 1-based average rank per value
-    value_rank = dict(zip(uniq.tolist(), avg.tolist()))
-    ranks = np.array([value_rank[v] for v in s.tolist()])
+    # tie-averaged 1-based ranks, fully vectorized: np.unique sorts, so
+    # each unique value's rank block starts at the cumulative count of
+    # smaller values and averages to start + (count + 1) / 2
+    _, inv, counts = np.unique(s, return_inverse=True, return_counts=True)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ranks = (starts + (counts + 1) / 2.0)[inv]
 
     auc = (ranks[y].sum() - npos * (npos + 1) / 2.0) / (npos * nneg)
     return float(auc)

@@ -92,7 +92,25 @@ def load_state(root_path: str, params, opt_state=None,
     npz_path = os.path.join(root_path, "model.npz")
     pt_path = os.path.join(root_path, "model.pt")
 
-    if os.path.isdir(_orbax_dir(root_path)):
+    # When BOTH formats exist (e.g. checkpoint_backend switched between
+    # runs), prefer the configured backend, falling back to newer mtime —
+    # never silently resume from a stale checkpoint of the other format.
+    use_orbax = os.path.isdir(_orbax_dir(root_path))
+    if use_orbax and os.path.isfile(npz_path):
+        backend = getattr(config, "checkpoint_backend", None)
+        if backend in ("npz", "orbax"):
+            use_orbax = backend == "orbax"
+        else:
+            def newest(p):
+                return max((os.path.getmtime(os.path.join(r, f))
+                            for r, _, fs in os.walk(p) for f in fs),
+                           default=os.path.getmtime(p)) if os.path.isdir(p) \
+                    else os.path.getmtime(p)
+            use_orbax = newest(_orbax_dir(root_path)) >= newest(npz_path)
+        print(f"Both orbax/ and model.npz present in {root_path}; "
+              f"loading {'orbax' if use_orbax else 'npz'}")
+
+    if use_orbax:
         import orbax.checkpoint as ocp
 
         ckpt = _orbax_checkpointer()
@@ -128,7 +146,7 @@ def load_state(root_path: str, params, opt_state=None,
         print(f"{npz_path} not found, not loading model state!")
 
     opt_path = os.path.join(root_path, "opt.npz")
-    if opt_state is not None and os.path.isfile(opt_path):
+    if not use_orbax and opt_state is not None and os.path.isfile(opt_path):
         with np.load(opt_path) as z:
             opt_state = _unflatten(opt_state, dict(z.items()))
 

@@ -112,7 +112,10 @@ def folded_importance(slide_depths, imps, patch_size: int,
         rows, cols, size = _depth0_cells(slide, depth, patch_size)
         gh, gw = -(-H // size), -(-W // size)
         cells = np.zeros((gh, gw))
-        keep = (rows < gh) & (cols < gw)
+        # negative locs (possible at slide edges after recursion) must be
+        # dropped, not wrapped to the far edge via negative indexing — the
+        # reference painter clamps with max(y, 0) (`heatmap_visualise.py`)
+        keep = (rows >= 0) & (cols >= 0) & (rows < gh) & (cols < gw)
         cells[rows[keep], cols[keep]] = imp[: len(rows)][keep] + VISITED_EPS
         levels.append(np.repeat(np.repeat(cells, size, 0), size, 1)[:H, :W])
 
@@ -132,8 +135,9 @@ def _outline_collection(slide_depths, patch_size: int):
     rects = []
     for depth, slide in enumerate(slide_depths):
         rows, cols, size = _depth0_cells(slide, depth, patch_size)
+        keep = (rows >= 0) & (cols >= 0)
         rects.extend(Rectangle((x * size, y * size), size, size)
-                     for y, x in zip(rows, cols))
+                     for y, x in zip(rows[keep], cols[keep]))
     return PatchCollection(rects, facecolor="none", edgecolor="black",
                            lw=OUTLINE_LW)
 
