@@ -181,7 +181,7 @@ def hierarchy_step(bag: PatchBag, out: dict, table: LevelTable, k: int,
 def end2end_forward(params: dict, config: Config, bag0: PatchBag,
                     tables: List[LevelTable], *,
                     rng: Optional[jax.Array] = None,
-                    deterministic: bool = True) -> List[dict]:
+                    deterministic: bool = True, seq_mesh=None) -> List[dict]:
     """Run all levels (reference `utils.inference_end2end`,
     `utils.py:228-279`), returning each level's processor output plus the
     bag it was computed on (`"bag"` key), for visualisation/inspection.
@@ -194,7 +194,7 @@ def end2end_forward(params: dict, config: Config, bag0: PatchBag,
     for i in range(config.num_levels):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
         out = recursive_apply(params, config, i, bag, rng=lrng,
-                              deterministic=deterministic)
+                              deterministic=deterministic, seq_mesh=seq_mesh)
         outs.append({**out, "bag": bag})
         if i != config.num_levels - 1:
             bag = hierarchy_step(bag, out, tables[i],
@@ -222,12 +222,12 @@ def task_loss(config: Config, logits: jnp.ndarray, labels: dict):
 def end2end_loss(params: dict, config: Config, bag0: PatchBag,
                  tables: List[LevelTable], labels: dict, *,
                  rng: Optional[jax.Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, seq_mesh=None):
     """Forward through all levels + final-level loss.
     Returns (loss, aux) where aux carries hazards-or-logits + importances.
     """
     outs = end2end_forward(params, config, bag0, tables, rng=rng,
-                           deterministic=deterministic)
+                           deterministic=deterministic, seq_mesh=seq_mesh)
     logits = outs[-1]["logits"]
     loss, pred = task_loss(config, logits, labels)
     aux = {"pred": pred, "logits": logits,

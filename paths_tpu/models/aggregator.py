@@ -62,7 +62,7 @@ def aggregator_apply(params: dict, cond_seq: jnp.ndarray, xs: jnp.ndarray,
                      xs_valid: Optional[jnp.ndarray], *,
                      dropout_rate: float = 0.0, rng: Optional[jax.Array] = None,
                      deterministic: bool = True, compute_dtype=None,
-                     impl: str = "xla") -> jnp.ndarray:
+                     impl: str = "xla", seq_mesh=None) -> jnp.ndarray:
     """Aggregate `xs` (already projected+encoded, (B, N, dm)) into (B, dm).
 
     A learned special token is prepended (always valid); the decoder output
@@ -84,5 +84,6 @@ def aggregator_apply(params: dict, cond_seq: jnp.ndarray, xs: jnp.ndarray,
                             src_valid=cond_valid, tgt_valid=tgt_valid,
                             rate=dropout_rate, rng=rng,
                             deterministic=deterministic,
-                            compute_dtype=compute_dtype, impl=impl)
+                            compute_dtype=compute_dtype, impl=impl,
+                            seq_mesh=seq_mesh)
     return out[:, 0]

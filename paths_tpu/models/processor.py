@@ -60,7 +60,7 @@ def processor_apply(params: dict, config: PATHSProcessorConfig,
                     train_config: Config, depth: int, bag: PatchBag, *,
                     lstm_params: Optional[dict] = None,
                     rng: Optional[jax.Array] = None,
-                    deterministic: bool = True) -> dict:
+                    deterministic: bool = True, seq_mesh=None) -> dict:
     """Process one level's bag -> logits / new contexts / importance.
 
     Returns {"logits": (B, C), "ctx_slide": (B, Ds), "ctx_patch": (B, N, Dp),
@@ -120,7 +120,8 @@ def processor_apply(params: dict, config: PATHSProcessorConfig,
     slide_features = aggregator_apply(
         params["agg"], cond, xs, None, mask,
         dropout_rate=config.dropout, rng=rng, deterministic=deterministic,
-        compute_dtype=cd, impl=train_config.attention_impl)
+        compute_dtype=cd, impl=train_config.attention_impl,
+        seq_mesh=seq_mesh)
 
     # ---- residual slide context (`model/paths.py:130-131`)
     if config.slide_ctx_mode == "residual" and bag.ctx_depth > 0:

@@ -33,11 +33,12 @@ def recursive_init(key, config: Config, dtype=jnp.float32) -> dict:
 
 def recursive_apply(params: dict, config: Config, depth: int, bag: PatchBag, *,
                     rng: Optional[jax.Array] = None,
-                    deterministic: bool = True) -> dict:
+                    deterministic: bool = True, seq_mesh=None) -> dict:
     """Dispatch to the depth-th processor (`model/interface.py:96-99`)."""
     return processor_apply(
         params["procs"][depth], config.model_config, config, depth, bag,
-        lstm_params=params.get("lstm"), rng=rng, deterministic=deterministic)
+        lstm_params=params.get("lstm"), rng=rng, deterministic=deterministic,
+        seq_mesh=seq_mesh)
 
 
 def num_params(params) -> int:

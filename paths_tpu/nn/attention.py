@@ -55,7 +55,8 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
               value: jnp.ndarray, *, key_valid: Optional[jnp.ndarray] = None,
               dropout_rate: float = 0.0, rng: Optional[jax.Array] = None,
               deterministic: bool = True, compute_dtype=None,
-              impl: str = "xla") -> jnp.ndarray:
+              impl: str = "xla", seq_mesh=None,
+              seq_axis: str = "model") -> jnp.ndarray:
     """Scaled dot-product MHA.
 
     :param query: (B, Nq, D)
@@ -69,6 +70,14 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
         kernel (`paths_tpu/kernels/flash_attention.py`) requires a PREFIX
         mask (valid keys first — guaranteed for compacted PatchBags) and
         falls back to XLA when attention-weight dropout is active.
+    :param seq_mesh: a Mesh whose `seq_axis` dimension shards the patch
+        (sequence) axis. When its size > 1 and the pallas kernel is
+        engaged, self-attention runs through the sequence-parallel
+        shard_map kernel (`parallel/seq_attention.py`): each chip keeps
+        its query shard, gathers K/V, and runs the local flash kernel —
+        instead of the single-device pallas_call, which GSPMD would have
+        to replicate. With impl="xla" the mesh is unused (GSPMD partitions
+        XLA attention natively).
     :return: (B, Nq, D)
 
     If Nk == 0 the attention context is zero, so the result is the
@@ -93,6 +102,7 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
     v = _split_heads(proj(params["v"], value), h)
 
     is_bf16 = jnp.dtype(cd) == jnp.bfloat16
+    sp = seq_mesh.shape.get(seq_axis, 1) if seq_mesh is not None else 1
     want_pallas = impl == "pallas" or (
         impl == "auto" and nk >= AUTO_PALLAS_MIN_LEN and _on_tpu())
     use_pallas = (want_pallas
@@ -107,7 +117,24 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
         # measured: bf16 (256,512) ~3x faster than (128,128) at N=8192;
         # f32 blocks stay smaller (f32 tiles are 2x the VMEM per block)
         bq, bk = (256, 512) if is_bf16 else (128, 128)
-        ctx = masked_flash_attention(q, k, v, lengths, bq, bk)
+        if sp > 1:
+            from paths_tpu.parallel.seq_attention import (
+                seq_sharded_flash_attention,
+            )
+
+            # shard_map needs the sequence length divisible by the mesh
+            # axis; the special token makes it N+1, so pad with masked
+            # slots (keys beyond `lengths` are ignored, padded query rows
+            # are sliced off)
+            pad = (-nq) % sp
+            if pad:
+                q, k, v = (jnp.pad(a, [(0, 0), (0, 0), (0, pad), (0, 0)])
+                           for a in (q, k, v))
+            ctx = seq_sharded_flash_attention(
+                seq_mesh, q, k, v, lengths, axis=seq_axis,
+                block_q=bq, block_k=bk)[:, :, :nq]
+        else:
+            ctx = masked_flash_attention(q, k, v, lengths, bq, bk)
     else:
         scale = 1.0 / math.sqrt(d // h)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,

@@ -49,11 +49,12 @@ def encoder_layer_init(key, dim: int, num_heads: int, ff_dim: int, dtype=jnp.flo
 
 
 def encoder_layer_apply(params, x, *, valid=None, rate=0.0, rng=None,
-                        deterministic=True, compute_dtype=None, impl="xla"):
+                        deterministic=True, compute_dtype=None, impl="xla",
+                        seq_mesh=None):
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
     sa = mha_apply(params["self_attn"], x, x, x, key_valid=valid,
                    dropout_rate=rate, rng=rngs[0], deterministic=deterministic,
-                   compute_dtype=compute_dtype, impl=impl)
+                   compute_dtype=compute_dtype, impl=impl, seq_mesh=seq_mesh)
     sa = dropout(sa, rate, rng=rngs[1], deterministic=deterministic)
     x = layer_norm_apply(params["norm1"], x + sa)
     ff = _ff_apply(params["ff"], x, rate=rate, rng=rngs[2],
@@ -78,14 +79,14 @@ def decoder_layer_init(key, dim: int, num_heads: int, ff_dim: int, dtype=jnp.flo
 
 def decoder_layer_apply(params, x, memory, *, tgt_valid=None, mem_valid=None,
                         rate=0.0, rng=None, deterministic=True,
-                        compute_dtype=None, impl="xla"):
+                        compute_dtype=None, impl="xla", seq_mesh=None):
     """Post-norm decoder layer. `memory` may have length 0, in which case
     cross-attention contributes exactly zero (torch's empty-memory
     behavior; see `mha_apply`)."""
     rngs = jax.random.split(rng, 6) if rng is not None else [None] * 6
     sa = mha_apply(params["self_attn"], x, x, x, key_valid=tgt_valid,
                    dropout_rate=rate, rng=rngs[0], deterministic=deterministic,
-                   compute_dtype=compute_dtype, impl=impl)
+                   compute_dtype=compute_dtype, impl=impl, seq_mesh=seq_mesh)
     sa = dropout(sa, rate, rng=rngs[1], deterministic=deterministic)
     x = layer_norm_apply(params["norm1"], x + sa)
 
@@ -124,7 +125,7 @@ def transformer_init(key, dim: int, num_heads: int, num_layers: int,
 
 def transformer_apply(params, src, tgt, *, src_valid=None, tgt_valid=None,
                       rate=0.0, rng=None, deterministic=True,
-                      compute_dtype=None, impl="xla"):
+                      compute_dtype=None, impl="xla", seq_mesh=None):
     """Full encoder-decoder forward. `src` may be zero-length (B, 0, D)."""
     n_enc = len(params["encoder"]["layers"])
     n_dec = len(params["decoder"]["layers"])
@@ -136,7 +137,8 @@ def transformer_apply(params, src, tgt, *, src_valid=None, tgt_valid=None,
         for i, layer in enumerate(params["encoder"]["layers"]):
             memory = encoder_layer_apply(layer, memory, valid=src_valid, rate=rate,
                                          rng=rngs[i], deterministic=deterministic,
-                                         compute_dtype=compute_dtype, impl=impl)
+                                         compute_dtype=compute_dtype, impl=impl,
+                                         seq_mesh=seq_mesh)
         memory = layer_norm_apply(params["encoder"]["norm"], memory)
 
     x = tgt
@@ -144,5 +146,6 @@ def transformer_apply(params, src, tgt, *, src_valid=None, tgt_valid=None,
         x = decoder_layer_apply(layer, x, memory, tgt_valid=tgt_valid,
                                 mem_valid=src_valid, rate=rate,
                                 rng=rngs[n_enc + i], deterministic=deterministic,
-                                compute_dtype=compute_dtype, impl=impl)
+                                compute_dtype=compute_dtype, impl=impl,
+                                seq_mesh=seq_mesh)
     return layer_norm_apply(params["decoder"]["norm"], x)

@@ -39,6 +39,48 @@ def make_mesh_2d(n_data: int, n_model: int,
     return Mesh(grid, ("data", "model"))
 
 
+def mesh_from_config(config, devices: Optional[Sequence] = None) -> Mesh:
+    """Build the training mesh from `config.mesh_shape`:
+
+    * None / []    -> 1-D data mesh over all devices
+    * [dp]         -> 1-D data mesh over dp devices
+    * [dp, sp>1]   -> 2-D (data x model) mesh: slides data-parallel across
+      rows, each slide's level-0 patch axis sequence-parallel across
+      columns (`shard_bag_patches`)
+    """
+    ms = getattr(config, "mesh_shape", None)
+    if not ms:
+        return make_mesh(None, devices)
+    if len(ms) == 1 or ms[1] <= 1:
+        return make_mesh(ms[0], devices)
+    return make_mesh_2d(ms[0], ms[1], devices)
+
+
+def data_axis_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("data", 1))
+
+
+def seq_axis_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("model", 1))
+
+
+def shard_train_batch(mesh: Mesh, bag0, tables, labels):
+    """Shard one training batch for a 1-D or 2-D mesh: the level-0 bag's
+    patch axis goes on `model` when that axis exists (sequence
+    parallelism); tables and labels always shard on `data` alone (their
+    patch axes are small — <= 4K rows after level 0)."""
+    if seq_axis_size(mesh) > 1:
+        bag0 = shard_bag_patches(mesh, bag0)
+        tables, labels = shard_batch(mesh, (tables, labels))
+    else:
+        bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
+    return bag0, tables, labels
+
+
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (parameters / optimizer state)."""
     sharding = NamedSharding(mesh, P())
