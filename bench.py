@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paths_tpu.config import Config, PATHSProcessorConfig
+from paths_tpu.config import Config
 from paths_tpu.data.dataset import collate_batch, load_splits
 from paths_tpu.data.synthetic import make_synthetic_metadata, make_synthetic_store
 from paths_tpu.engine.hierarchy import end2end_loss
@@ -42,15 +42,17 @@ ITERS = 20
 
 
 def flagship_config(tmp: str) -> Config:
-    return Config(
-        model_config=PATHSProcessorConfig(
-            patch_embed_dim=1024, trans_dim=128, trans_heads=4,
-            trans_layers=2, pos_encoding_mode="2d", dropout=0.05, lstm=True),
-        num_levels=5, top_k_patches=20, nbins=4, task="survival",
-        batch_size=B, lr=2e-5,
-        csv_path=os.path.join(tmp, "meta.csv.zip"),
-        preprocess_dir=os.path.join(tmp, "store"),
-        wsi_dir=os.path.join(tmp, "brca"))
+    """The bundled brca_paths_0 mirror (models/brca_paths_0/config.json —
+    the single source of the flagship hyperparameters), pointed at the
+    synthetic store."""
+    cfg = Config.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "models", "brca_paths_0"), test_mode=True)
+    cfg.csv_path = os.path.join(tmp, "meta.csv.zip")
+    cfg.preprocess_dir = os.path.join(tmp, "store")
+    cfg.wsi_dir = os.path.join(tmp, "brca")
+    cfg.hipt_splits = False        # synthetic slides use a random split
+    cfg.batch_size = [B]
+    return cfg
 
 
 def build_batch(cfg: Config, seed: int = 0):
