@@ -185,7 +185,7 @@ class SlideDataset:
     def __len__(self) -> int:
         return len(self.slides)
 
-    def global_pads(self) -> dict:
+    def global_pads(self, level0_only: bool = False) -> dict:
         """Dataset-wide shape maxima: level-0 bag width, per-level table
         rows and grid dims. Collating every batch to these bounds the
         whole run to ONE compiled shape per program (first compiles of the
@@ -193,23 +193,34 @@ class SlideDataset:
         per-batch maxima under shuffle would produce dozens of distinct
         shapes — the reference pads per batch, `dataset.py:206-243`, but
         eager torch doesn't recompile). One pass over the slides; lazy
-        datasets materialize + unload each."""
+        datasets materialize + unload each.
+
+        :param level0_only: scan only the level-0 bag widths (what the
+            streaming engine pads — its deeper tables stay host-side), so
+            the pass touches one grid per slide instead of all levels."""
         if getattr(self, "_global_pads", None) is not None:
             return self._global_pads
+        if level0_only and getattr(self, "_global_pads_l0", None) is not None:
+            return self._global_pads_l0
         n0 = 0
         rows = [0] * self.config.num_levels
         grid_hw = [(0, 0)] * self.config.num_levels
         for s in self.slides:
             was_loaded = s._tables is not None
             n0 = max(n0, s.level0[2])
-            for lvl, t in enumerate(s.tables, start=1):
-                rows[lvl] = max(rows[lvl], t["fts"].shape[0])
-                grid_hw[lvl] = (max(grid_hw[lvl][0], t["index"].shape[0]),
-                                max(grid_hw[lvl][1], t["index"].shape[1]))
+            if not level0_only:
+                for lvl, t in enumerate(s.tables, start=1):
+                    rows[lvl] = max(rows[lvl], t["fts"].shape[0])
+                    grid_hw[lvl] = (max(grid_hw[lvl][0], t["index"].shape[0]),
+                                    max(grid_hw[lvl][1], t["index"].shape[1]))
             if not (self.cache_slides or was_loaded):
                 s.unload()
-        self._global_pads = {"n0": n0, "rows": rows, "grid_hw": grid_hw}
-        return self._global_pads
+        pads = {"n0": n0, "rows": rows, "grid_hw": grid_hw}
+        if level0_only:
+            self._global_pads_l0 = pads
+        else:
+            self._global_pads = pads
+        return pads
 
 
 

@@ -136,3 +136,39 @@ def test_lookup_host_fallback(tmp_path):
     assert lk["mask"][0].sum() == 4             # all 4 raw cells
     np.testing.assert_array_equal(lk["locs"][0][:4],
                                   [[0, 0], [0, 1], [1, 0], [1, 1]])
+
+
+def test_streaming_static_shapes_no_retrace(tmp_path):
+    """Under shuffle, the streaming batch path must yield ONE level-0
+    width across epochs when static_shapes pads are in play — per-batch
+    maxima would re-trace fwd/select/grad every time the batch max crosses
+    a bucket boundary (the multi-minute remote-compile hazard
+    `data/dataset.py::global_pads` documents)."""
+    from paths_tpu.train.loop import _epoch_batches_streaming
+
+    tmp = str(tmp_path)
+    # base_hw=(4,5) + the per-slide +0..2 jitter puts n0 in 20..42, so
+    # shuffled batch maxima straddle the 32-wide bucket boundary
+    cfg = tiny_train_config(tmp)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=8,
+                               base_hw=(4, 5))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    ds = load_splits([1.0, 0.0, 0.0], seed=0, config=cfg)[0]
+
+    def widths(pads, seeds):
+        out = set()
+        for seed in seeds:
+            for bag0, *_ in _epoch_batches_streaming(
+                    ds, 1, shuffle=True, seed=seed, mesh_size=1, config=cfg,
+                    prefetch=0, pads=pads):
+                out.add(bag0.fts.shape[1])
+        return out
+
+    # guard: without pads the widths DO vary (otherwise this test is vacuous)
+    assert len(widths(None, [1])) >= 2
+
+    pads = ds.global_pads(level0_only=True)
+    w = widths(pads, [1, 2, 3])
+    assert len(w) == 1, f"streaming retrace hazard: widths {w}"
+    # level0-only pads scan must agree with the full scan's n0
+    assert pads["n0"] == ds.global_pads()["n0"]
