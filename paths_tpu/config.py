@@ -126,8 +126,14 @@ class Config:
     # compiles from per-batch maxima under shuffle); False falls back to
     # per-batch bucketing
     static_shapes: bool = True
-    # data-parallel mesh size; None = use all available devices
+    # mesh shape: [dp] = 1-D data-parallel; [dp, sp] with sp > 1 adds a
+    # `model` axis sharding each slide's level-0 patch dimension
+    # (sequence parallelism). None = 1-D over all available devices.
     mesh_shape: Optional[List[int]] = None
+    # schedule for sequence-parallel attention when mesh_shape = [dp, sp]
+    # and the pallas path is engaged: "gathered" (all-gather K/V, O(N)
+    # per-chip memory) or "ring" (rotate K/V blocks, O(N/sp) memory)
+    seq_attention: str = "gathered"
     # "npz" (default, flat-array files) or "orbax" (Orbax
     # StandardCheckpointer tree: sharded-array aware, multi-host safe)
     checkpoint_backend: str = "npz"

@@ -102,7 +102,13 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
     v = _split_heads(proj(params["v"], value), h)
 
     is_bf16 = jnp.dtype(cd) == jnp.bfloat16
-    sp = seq_mesh.shape.get(seq_axis, 1) if seq_mesh is not None else 1
+    if seq_mesh is not None:
+        from paths_tpu.parallel.seq_attention import SeqSharding
+
+        seq_mesh = SeqSharding.wrap(seq_mesh)
+        if seq_mesh.axis != seq_axis:
+            seq_mesh = SeqSharding(seq_mesh.mesh, seq_axis, seq_mesh.impl)
+    sp = seq_mesh.size if seq_mesh is not None else 1
     want_pallas = impl == "pallas" or (
         impl == "auto" and nk >= AUTO_PALLAS_MIN_LEN and _on_tpu())
     use_pallas = (want_pallas
@@ -118,21 +124,17 @@ def mha_apply(params: dict, query: jnp.ndarray, key_: jnp.ndarray,
         # f32 blocks stay smaller (f32 tiles are 2x the VMEM per block)
         bq, bk = (256, 512) if is_bf16 else (128, 128)
         if sp > 1:
-            from paths_tpu.parallel.seq_attention import (
-                seq_sharded_flash_attention,
-            )
-
             # shard_map needs the sequence length divisible by the mesh
             # axis; the special token makes it N+1, so pad with masked
             # slots (keys beyond `lengths` are ignored, padded query rows
-            # are sliced off)
+            # are sliced off). The schedule (gathered-KV vs ring) comes
+            # from the SeqSharding spec.
             pad = (-nq) % sp
             if pad:
                 q, k, v = (jnp.pad(a, [(0, 0), (0, 0), (0, pad), (0, 0)])
                            for a in (q, k, v))
-            ctx = seq_sharded_flash_attention(
-                seq_mesh, q, k, v, lengths, axis=seq_axis,
-                block_q=bq, block_k=bk)[:, :, :nq]
+            ctx = seq_mesh.attend(q, k, v, lengths,
+                                  block_q=bq, block_k=bk)[:, :, :nq]
         else:
             ctx = masked_flash_attention(q, k, v, lengths, bq, bk)
     else:

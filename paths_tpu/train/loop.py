@@ -68,7 +68,12 @@ def make_step_fns(config: Config, tx, mesh=None):
     shard_map kernel (engaged by `attention_impl` "auto"/"pallas" —
     under "xla", GSPMD partitions the attention natively and the mesh
     is unused)."""
-    seq_mesh = mesh if seq_axis_size(mesh) > 1 else None
+    if seq_axis_size(mesh) > 1:
+        from paths_tpu.parallel.seq_attention import SeqSharding
+
+        seq_mesh = SeqSharding(mesh, impl=config.seq_attention)
+    else:
+        seq_mesh = None
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def update(params, opt_state, bag0, tables, labels, rng):

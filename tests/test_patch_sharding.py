@@ -118,3 +118,31 @@ def test_config_mesh_trajectory_matches_1d(tmp_path):
     for e in s1["train_loss"]:
         np.testing.assert_allclose(s1["train_loss"][e],
                                    s24["train_loss"][e], rtol=5e-4)
+
+
+def test_ring_schedule_routing_matches_xla():
+    """config.seq_attention="ring" routes to the ring-scheduled kernel;
+    level-0 outputs still match the unsharded XLA reference."""
+    import dataclasses
+
+    import paths_tpu.kernels.flash_attention as fa
+    from paths_tpu.parallel.seq_attention import SeqSharding
+
+    cfg, params, bag0, _ = _setup(seed=5)
+    ref = recursive_apply(params, cfg, 0, bag0)
+
+    cfg2 = dataclasses.replace(cfg, attention_impl="pallas",
+                               seq_attention="ring")
+    mesh = make_mesh_2d(2, 4)
+    seq = SeqSharding(mesh, impl=cfg2.seq_attention)
+    fa.INTERPRET = True
+    try:
+        out = jax.jit(
+            lambda p, b: recursive_apply(p, cfg2, 0, b, seq_mesh=seq))(
+            replicate(mesh, params), shard_bag_patches(mesh, bag0))
+        np.testing.assert_allclose(np.asarray(out["logits"]),
+                                   np.asarray(ref["logits"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["importance"]),
+                                   np.asarray(ref["importance"]), atol=2e-5)
+    finally:
+        fa.INTERPRET = False

@@ -80,3 +80,67 @@ def test_seq_sharded_gradients_match():
         _shard(mesh, q), _shard(mesh, k), _shard(mesh, v))
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_ring_matches_reference():
+    """Ring schedule (O(N/sp) memory): forward matches the dense XLA
+    reference on valid rows, including ragged lengths whose valid prefix
+    ends mid-ring (batch 1's 45 valid keys span shards 0-5 of 8)."""
+    from paths_tpu.parallel.seq_attention import ring_flash_attention
+
+    mesh = _mesh()
+    q, k, v, lengths = _case()
+    ref = reference_attention(q, k, v, lengths)
+    out = ring_flash_attention(
+        mesh, _shard(mesh, q), _shard(mesh, k), _shard(mesh, v), lengths,
+        block_q=8, block_k=8)
+    for bi, ln in enumerate(np.asarray(lengths)):
+        np.testing.assert_allclose(np.asarray(out)[bi, :, :ln],
+                                   np.asarray(ref)[bi, :, :ln], atol=2e-5)
+
+
+def test_ring_matches_gathered():
+    """Ring and gathered-KV paths agree everywhere (same kernel math,
+    different schedule)."""
+    from paths_tpu.parallel.seq_attention import ring_flash_attention
+
+    mesh = _mesh()
+    q, k, v, lengths = _case(seed=7)
+    qs, ks, vs = _shard(mesh, q), _shard(mesh, k), _shard(mesh, v)
+    a = seq_sharded_flash_attention(mesh, qs, ks, vs, lengths,
+                                    block_q=8, block_k=8)
+    b = ring_flash_attention(mesh, qs, ks, vs, lengths,
+                             block_q=8, block_k=8)
+    for bi, ln in enumerate(np.asarray(lengths)):
+        np.testing.assert_allclose(np.asarray(b)[bi, :, :ln],
+                                   np.asarray(a)[bi, :, :ln], atol=2e-5)
+
+
+def test_ring_gradients_match():
+    """Ring backward (rotating dk/dv accumulators) vs the unsharded
+    kernel's gradients."""
+    import jax.numpy as jnp
+
+    from paths_tpu.parallel.seq_attention import ring_flash_attention
+
+    mesh = _mesh()
+    q, k, v, lengths = _case(seed=11)
+    w = jnp.asarray(np.random.default_rng(5).normal(size=q.shape)
+                    .astype(np.float32))
+    valid = (jnp.arange(q.shape[2])[None] < lengths[:, None])[:, None, :,
+                                                              None]
+    wv = jnp.where(valid, w, 0.0)
+
+    def loss_single(q, k, v):
+        return jnp.sum(fa.masked_flash_attention(q, k, v, lengths, 8, 8)
+                       * wv)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_flash_attention(
+            mesh, q, k, v, lengths, block_q=8, block_k=8) * wv)
+
+    g_ref = jax.grad(loss_single, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_ring, argnums=(0, 1, 2))(
+        _shard(mesh, q), _shard(mesh, k), _shard(mesh, v))
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
