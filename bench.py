@@ -101,13 +101,14 @@ def bench_tpu(cfg: Config, batch) -> float:
     return best
 
 
-def bench_encoder(batch_size: int = 256, iters: int = 5) -> float:
-    """ViT-L (UNI) patch-encode throughput, img/s, chained dispatch."""
+def bench_encoder(encoder: str = "UNI", batch_size: int = 256,
+                  iters: int = 5) -> float:
+    """Patch-encode throughput for one encoder, img/s, chained dispatch."""
     import jax.numpy as jnp
 
-    from paths_tpu.encoders.registry import _vit_encode, from_name
+    from paths_tpu.encoders.registry import from_name
 
-    encode, dim, tspec = from_name("UNI")
+    encode, dim, tspec = from_name(encoder)
     x = jax.device_put(jnp.asarray(
         np.random.default_rng(0).random((batch_size, 256, 256, 3),
                                         dtype=np.float32)))
@@ -161,14 +162,18 @@ _PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12}
 
 def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
                      threads: int = 8, encoder: str = "UNI",
-                     n_slides: int = 2):
+                     n_slides: int = 2, jpeg_slides: bool = True):
     """BASELINE.md's north-star path end-to-end: synthetic WSI pyramids ->
     tissue mask -> patch reads -> ViT-L encode -> feature grids, for the
     flagship magnifications 0.625x..10x through the production
     `process_slides` pipeline (cross-slide producer/consumer overlap;
-    reference hot loop `preprocess/preprocess.py:27-110`). Returns
-    slides/hour, patches/s, pipeline MFU, and a host/transfer-vs-encode
-    wall breakdown."""
+    reference hot loop `preprocess/preprocess.py:27-110`).
+
+    Slides are JPEG-TILED pyramids (`write_tiled_jpeg`) so "decode" means
+    real per-tile JPEG decompression, the access shape of OpenSlide on
+    production `.svs` files — not ArrayWSI's memcpy. The wall breakdown
+    separates decode (null encode, no staging), H2D transfer (null
+    encode, staged), and exposed device encode."""
     import shutil
     import tempfile
 
@@ -176,6 +181,7 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
     from paths_tpu.encoders import vit
     from paths_tpu.encoders.registry import from_name
     from paths_tpu.preprocess.pipeline import process_slides
+    from paths_tpu.preprocess.wsi import write_tiled_jpeg
 
     encode, dim, _ = from_name(encoder)
     spec = {"uni": vit.UNI, "virchow2": vit.VIRCHOW2,
@@ -185,17 +191,22 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
     slide_dir = tempfile.mkdtemp(prefix="paths_tpu_bench_slides_")
     items = []
     for i in range(n_slides):
-        p = os.path.join(slide_dir, f"s{i}.npy")
-        np.save(p, make_synthetic_slide(grid_hw, seed=i))
+        img = make_synthetic_slide(grid_hw, seed=i)
+        if jpeg_slides:
+            p = os.path.join(slide_dir, f"s{i}.tiles")
+            write_tiled_jpeg(img, p, base_power=10.0)
+        else:
+            p = os.path.join(slide_dir, f"s{i}.npy")
+            np.save(p, img)
         items.append((p, f"s{i}"))
 
-    def run(encode_fn):
+    def run(encode_fn, stage_h2d=True):
         out = tempfile.mkdtemp(prefix="paths_tpu_bench_store_")
         store = FeatureStore(out, create=True)
         t0 = time.perf_counter()
         process_slides(items, encode_fn, dim, powers, store,
                        batch_size=batch_size, threads=threads,
-                       default_power=10.0)
+                       default_power=10.0, stage_h2d=stage_h2d)
         dt = time.perf_counter() - t0
         patches = sum(
             int((np.abs(np.asarray(store.load(sid, p))).sum(-1) > 0).sum())
@@ -206,15 +217,17 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
     run(encode)                      # compile + warm every level shape
     t_full, patches = min(run(encode) for _ in range(3))
 
-    # no-compute pass (mask + patch reads + H2D staging, no encode):
-    # the host/transfer share of the wall. On tunneled-TPU dev hosts the
-    # H2D link dominates; on production hosts (PCIe) the reads do.
     def null_encode(arr):
-        return np.zeros((arr.shape[0], dim), np.float32)
+        n = arr.shape[0] if hasattr(arr, "shape") else batch_size
+        return np.zeros((n, dim), np.float32)
 
-    t_decode = min(run(null_encode)[0] for _ in range(2))
+    # decode-only (no H2D staging, no encode), then decode+staging: the
+    # difference isolates the host->device transfer share of the wall.
+    t_decode = min(run(null_encode, stage_h2d=False)[0] for _ in range(2))
+    t_stage = min(run(null_encode, stage_h2d=True)[0] for _ in range(2))
     shutil.rmtree(slide_dir, ignore_errors=True)
-    t_full, t_decode = t_full / n_slides, t_decode / n_slides
+    t_full, t_decode, t_stage = (t / n_slides
+                                 for t in (t_full, t_decode, t_stage))
     patches //= n_slides
     flops = vit_flops_per_image(spec)
     kind = jax.devices()[0].device_kind
@@ -225,7 +238,9 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
         "preprocess_slides_per_hour": round(3600.0 / t_full, 1),
         "preprocess_patches_per_sec": round(pps, 1),
         "preprocess_patches_per_slide": patches,
-        "preprocess_host_decode_h2d_s": round(t_decode, 2),
+        "preprocess_decode_s": round(t_decode, 2),
+        "preprocess_h2d_s": round(max(t_stage - t_decode, 0.0), 2),
+        "preprocess_encode_exposed_s": round(max(t_full - t_stage, 0.0), 2),
         "preprocess_total_s": round(t_full, 2),
         # MFU of the WHOLE pipeline wall (host decode + H2D included) —
         # the encoder's own MFU is the standalone img/s figure; on
@@ -320,11 +335,26 @@ def main():
     t_tpu = bench_tpu(cfg, batch)
     tpu_sps = B / t_tpu
 
-    try:
-        enc_ips = bench_encoder()
-    except Exception as e:
-        print(f"encoder bench failed: {e}", file=sys.stderr)
-        enc_ips = None
+    from paths_tpu.encoders import vit as _vit
+
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
+                None)
+
+    def encoder_fields(name, spec, prefix):
+        try:
+            ips = bench_encoder(name)
+        except Exception as e:
+            print(f"{name} encoder bench failed: {e}", file=sys.stderr)
+            return {}
+        out = {f"{prefix}_encode_img_per_sec": round(ips, 1)}
+        if peak:
+            out[f"{prefix}_encode_mfu"] = round(
+                ips * vit_flops_per_image(spec) / peak, 3)
+        return out
+
+    enc = encoder_fields("UNI", _vit.UNI, "uni_vitl")
+    enc |= encoder_fields("Virchow2", _vit.VIRCHOW2, "virchow2")
 
     try:
         pre = bench_preprocess()
@@ -347,7 +377,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "tpu_step_ms": round(t_tpu * 1e3, 2),
         "baseline_slides_per_sec_torch_host": round(ref_sps, 2) if ref_sps else None,
-        "uni_vitl_encode_img_per_sec": round(enc_ips, 1) if enc_ips else None,
+        **enc,
         **pre,
         "device": str(jax.devices()[0]),
     }))

@@ -203,7 +203,8 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                    patch_size: int = 256, tissue_threshold: float = 0.1,
                    downscale: int = 4, batch_size: int = 64, threads: int = 8,
                    default_power: float = 40.0, mesh=None,
-                   batches_ahead: int = 6, verbose: bool = False) -> None:
+                   batches_ahead: int = 6, stage_h2d: bool = True,
+                   verbose: bool = False) -> None:
     """Pipelined multi-slide preprocessing: a producer thread walks every
     (slide, magnification), masks, reads patch batches, and stages them
     to the device through a bounded queue; the consumer encodes and
@@ -215,6 +216,9 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
 
     :param items: sequence of (path, slide_id)
     :param batches_ahead: bound on staged batches (host+device memory cap)
+    :param stage_h2d: issue the host->device copy from the producer
+        thread (overlapping encode). False keeps batches host-side —
+        used by the bench to time decode separately from transfer.
     """
     import queue
     import threading
@@ -266,7 +270,7 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                                 if not put(("batch", _read_batch(
                                         wsi, cand, bi, power, patch_size,
                                         batch_size, pool, False,
-                                        mesh is None))):
+                                        stage_h2d and mesh is None))):
                                     return
                             if not put(("flush", None)):
                                 return

@@ -14,6 +14,8 @@ Returned arrays are (H, W, 3) uint8.
 """
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from typing import Protocol, Tuple
 
 import numpy as np
@@ -121,12 +123,136 @@ class ArrayWSI:
         pass
 
 
+class TiledJpegWSI:
+    """JPEG-tiled pyramid reader: a directory of compressed tiles, so
+    every `read_rect` pays REAL per-tile decode work on the host — the
+    same access shape as OpenSlide's tiled `.svs` decode (the true
+    production bottleneck, reference `preprocess/preprocess.py:27-31`).
+    ArrayWSI's memcpy "decode" makes host-share bench numbers look
+    better than OpenSlide reality; this fixture keeps them honest.
+
+    Layout (written by `write_tiled_jpeg`):
+        <dir>/meta.json      {"base_power", "tile", "levels": [{power,h,w}]}
+        <dir>/L{i}_t{row}_{col}.jpg
+
+    Like an .svs, a few downsampled pyramid levels are stored; a read
+    decodes tiles from the smallest stored level at or above the
+    requested power, then resamples (nearest). A small decoded-tile LRU
+    keeps neighboring reads from re-decoding."""
+
+    def __init__(self, path: str, cache_tiles: int = 64):
+        import json
+
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        self.base_power = float(meta["base_power"])
+        self.tile = int(meta["tile"])
+        self.levels = meta["levels"]   # descending power
+        self._cache: "OrderedDict" = OrderedDict()
+        self._cache_tiles = cache_tiles
+
+    def objective_power(self) -> float:
+        return self.base_power
+
+    def slide_dimensions(self, power: float) -> Tuple[int, int]:
+        scale = power / self.base_power
+        h, w = self.levels[0]["h"], self.levels[0]["w"]
+        return int(round(h * scale)), int(round(w * scale))
+
+    def _pick_level(self, power: float) -> int:
+        for li in range(len(self.levels) - 1, -1, -1):
+            if self.levels[li]["power"] >= power - 1e-9:
+                return li
+        return 0
+
+    def _tile(self, li: int, tr: int, tc: int) -> np.ndarray:
+        key = (li, tr, tc)
+        img = self._cache.pop(key, None)
+        if img is None:
+            from PIL import Image
+
+            p = os.path.join(self.path, f"L{li}_t{tr}_{tc}.jpg")
+            img = np.asarray(Image.open(p).convert("RGB"))
+        self._cache[key] = img
+        while len(self._cache) > self._cache_tiles:
+            self._cache.popitem(last=False)
+        return img
+
+    def read_rect(self, loc, size, power) -> np.ndarray:
+        li = self._pick_level(power)
+        lv = self.levels[li]
+        scale = lv["power"] / power
+        y0 = int(round(loc[0] * scale))
+        x0 = int(round(loc[1] * scale))
+        hb = max(int(round(size[0] * scale)), 1)
+        wb = max(int(round(size[1] * scale)), 1)
+        H, W = lv["h"], lv["w"]
+        out = np.full((hb, wb, 3), 255, np.uint8)
+        ys, xs = max(y0, 0), max(x0, 0)
+        ye, xe = min(y0 + hb, H), min(x0 + wb, W)
+        t = self.tile
+        if ye > ys and xe > xs:
+            for tr in range(ys // t, (ye - 1) // t + 1):
+                for tc in range(xs // t, (xe - 1) // t + 1):
+                    tile = self._tile(li, tr, tc)
+                    ty0, tx0 = tr * t, tc * t
+                    cy0, cx0 = max(ys, ty0), max(xs, tx0)
+                    cy1 = min(ye, ty0 + tile.shape[0])
+                    cx1 = min(xe, tx0 + tile.shape[1])
+                    if cy1 > cy0 and cx1 > cx0:
+                        out[cy0 - y0: cy1 - y0, cx0 - x0: cx1 - x0] = \
+                            tile[cy0 - ty0: cy1 - ty0,
+                                 cx0 - tx0: cx1 - tx0]
+        if (hb, wb) == tuple(size):
+            return out
+        ys_i = np.clip((np.arange(size[0]) * hb / size[0]).astype(int), 0,
+                       hb - 1)
+        xs_i = np.clip((np.arange(size[1]) * wb / size[1]).astype(int), 0,
+                       wb - 1)
+        return out[np.ix_(ys_i, xs_i)]
+
+    def close(self) -> None:
+        self._cache.clear()
+
+
+def write_tiled_jpeg(base_image: np.ndarray, out_dir: str,
+                     base_power: float = 40.0, tile: int = 512,
+                     quality: int = 80, downsamples=(1, 4, 16)) -> str:
+    """Write a uint8 (H, W, 3) base image as a TiledJpegWSI pyramid with
+    `downsamples` levels (1 = the base)."""
+    import json
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    levels = []
+    for li, ds in enumerate(downsamples):
+        img = base_image[::ds, ::ds] if ds > 1 else base_image
+        h, w = img.shape[:2]
+        levels.append({"power": base_power / ds, "h": h, "w": w})
+        for tr in range(-(-h // tile)):
+            for tc in range(-(-w // tile)):
+                Image.fromarray(img[tr * tile: (tr + 1) * tile,
+                                    tc * tile: (tc + 1) * tile]).save(
+                    os.path.join(out_dir, f"L{li}_t{tr}_{tc}.jpg"),
+                    quality=quality)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"base_power": base_power, "tile": tile,
+                   "levels": levels}, f)
+    return out_dir
+
+
 def open_wsi(path: str, default_power: float = 40.0) -> WSIReader:
-    """Open a slide file. `.npy` files open as ArrayWSI pyramids (the
-    native test/bench fixture format: a uint8 H x W x 3 base image);
-    anything else goes through OpenSlide/tiatoolbox."""
+    """Open a slide file. `.npy` files open as ArrayWSI pyramids (a uint8
+    H x W x 3 base image; memcpy "decode"); `.tiles` directories open as
+    TiledJpegWSI (real per-tile JPEG decode); anything else goes through
+    OpenSlide/tiatoolbox."""
     if path.endswith(".npy"):
         return ArrayWSI(np.load(path), base_power=default_power, path=path)
+    if path.endswith(".tiles") or os.path.isfile(
+            os.path.join(path, "meta.json")):
+        return TiledJpegWSI(path)
     return OpenSlideWSI(path, default_power)
 
 

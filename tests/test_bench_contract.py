@@ -35,9 +35,9 @@ def test_bench_preprocess_fields():
     r = bench.bench_preprocess(grid_hw=(2, 3), batch_size=8, threads=2,
                                encoder="kaiko-vits16", n_slides=1)
     expected = {"preprocess_slides_per_hour", "preprocess_patches_per_sec",
-                "preprocess_patches_per_slide",
-                "preprocess_host_decode_h2d_s", "preprocess_total_s",
-                "preprocess_pipeline_mfu"}
+                "preprocess_patches_per_slide", "preprocess_decode_s",
+                "preprocess_h2d_s", "preprocess_encode_exposed_s",
+                "preprocess_total_s", "preprocess_pipeline_mfu"}
     assert set(r) == expected, r
     assert r["preprocess_patches_per_slide"] > 0
     assert r["preprocess_slides_per_hour"] > 0

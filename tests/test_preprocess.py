@@ -174,3 +174,74 @@ def test_process_slides_pipelined_matches_serial(tmp_path):
             np.testing.assert_array_equal(
                 got, np.asarray(ref_store.load(sid, power)))
     assert not pipe_store.exists("bad", 2.5)
+
+
+def test_tiled_jpeg_reader_matches_array(tmp_path):
+    """TiledJpegWSI geometry: rect reads across tile boundaries, pyramid
+    level selection, and downsampled reads agree with ArrayWSI on the
+    same base image (to JPEG tolerance)."""
+    from paths_tpu.preprocess.wsi import ArrayWSI, open_wsi, write_tiled_jpeg
+
+    # smooth image (JPEG-friendly at every pyramid level) with distinct
+    # per-channel structure so geometry errors can't cancel out
+    yy, xx = np.mgrid[0:640, 0:800]
+    base = np.stack([127 + 120 * np.sin(yy / 41.0),
+                     127 + 120 * np.cos(xx / 53.0),
+                     127 + 110 * np.sin((yy + xx) / 67.0)],
+                    axis=-1).astype(np.uint8)
+    d = str(tmp_path / "s.tiles")
+    write_tiled_jpeg(base, d, base_power=10.0, tile=128, quality=95)
+
+    arr = ArrayWSI(base, base_power=10.0)
+    jpg = open_wsi(d, 10.0)
+    assert type(jpg).__name__ == "TiledJpegWSI"
+    assert jpg.objective_power() == 10.0
+    assert jpg.slide_dimensions(10.0) == arr.slide_dimensions(10.0)
+    assert jpg.slide_dimensions(2.5) == arr.slide_dimensions(2.5)
+
+    for power, loc, size in [(10.0, (100, 200), (64, 64)),
+                             (10.0, (120, 120), (200, 300)),  # tile-crossing
+                             (10.0, (600, 700), (256, 256)),  # partial OOB
+                             (2.5, (10, 20), (64, 64)),       # pyramid level
+                             (0.625, (0, 0), (40, 50))]:
+        a = arr.read_rect(loc, size, power)
+        b = jpg.read_rect(loc, size, power)
+        assert a.shape == b.shape == (*size, 3)
+        # smooth content: q95 JPEG error stays small at every level; a
+        # geometry bug (wrong tile/level/offset) would blow far past this
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 8, (
+            power, loc)
+    jpg.close()
+
+
+def test_process_slides_tiled_jpeg_grid_contract(tmp_path):
+    """The full pipeline over a tiled-JPEG slide produces the same grid
+    SHAPES and a near-identical tissue selection as the ArrayWSI path."""
+    from paths_tpu.data.feature_store import FeatureStore
+    from paths_tpu.preprocess.pipeline import process_slides
+    from paths_tpu.preprocess.wsi import write_tiled_jpeg
+
+    import bench as _bench
+
+    img = _bench.make_synthetic_slide(grid_hw=(2, 3), patch=64, seed=0)
+    npy = str(tmp_path / "s.npy")
+    np.save(npy, img)
+    tiles = str(tmp_path / "s.tiles")
+    write_tiled_jpeg(img, tiles, base_power=10.0, tile=128, quality=95)
+
+    def null_encode(arr):
+        return np.ones((arr.shape[0], 4), np.float32)
+
+    grids = {}
+    for name, path in [("npy", npy), ("jpg", tiles)]:
+        store = FeatureStore(str(tmp_path / f"store_{name}"), create=True)
+        process_slides([(path, "s")], null_encode, 4, [2.5, 10.0], store,
+                       patch_size=64, batch_size=8, threads=2,
+                       default_power=10.0)
+        grids[name] = [np.asarray(store.load("s", p)) for p in [2.5, 10.0]]
+
+    for a, b in zip(grids["npy"], grids["jpg"]):
+        assert a.shape == b.shape
+        sel_a, sel_b = a.any(-1), b.any(-1)
+        # tissue selection may flip on threshold-marginal cells only
+        assert (sel_a != sel_b).mean() <= 0.15, (sel_a.sum(), sel_b.sum())
