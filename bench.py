@@ -242,6 +242,7 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
         "preprocess_h2d_s": round(max(t_stage - t_decode, 0.0), 2),
         "preprocess_encode_exposed_s": round(max(t_full - t_stage, 0.0), 2),
         "preprocess_total_s": round(t_full, 2),
+        "preprocess_decode_workers": 0,   # single producer (1-core host)
         # MFU of the WHOLE pipeline wall (host decode + H2D included) —
         # the encoder's own MFU is the standalone img/s figure; on
         # tunneled dev hosts the transfer share dominates this number

@@ -7,10 +7,11 @@ CLI contract mirrors the reference (`preprocess/preprocess.py:156-176`):
 
 Differences from the reference's flags: `--weights` points at a torch
 state_dict for the encoder (no hub downloads here); `--ext` selects the
-slide extension (`.svs` via OpenSlide, `.npy` array pyramids for
-fixtures); `-w/--workers` is the per-slide read-thread count (the
-reference's 32-process fan-out shared one GPU across processes — on TPU a
-single process drives the chip and threads feed it).
+slide extension (`.svs` via OpenSlide, `.npy` array pyramids or
+`.tiles` JPEG pyramids for fixtures); `-w/--workers` is a decode PROCESS
+count as in the reference — but processes only decode: one parent process
+drives the chip, so the default single producer thread suffices unless
+host decode is the bottleneck.
 """
 from __future__ import annotations
 
@@ -33,9 +34,16 @@ def main(argv=None):
                         help="Path to output data folder")
     parser.add_argument("-b", "--batch", type=int, default=64)
     parser.add_argument("-p", "--patch", type=int, default=256)
-    parser.add_argument("-t", "--threads", "-w", "--workers", type=int,
+    parser.add_argument("-t", "--threads", type=int,
                         default=8, dest="threads",
-                        help="Patch-read threads per slide")
+                        help="Patch-read threads per decode producer")
+    parser.add_argument("-w", "--workers", type=int, default=0,
+                        dest="decode_workers",
+                        help="Decode processes (reference -w: its 32-"
+                             "process fan-out, `preprocess.py:154`); each "
+                             "owns a slide shard and WSI handles, feeding "
+                             "one device queue. 0 = single producer "
+                             "thread (fine unless decode-bound)")
     parser.add_argument("-ms", "--magnifications", type=float, nargs="+",
                         default=[0.625, 1.25, 2.5, 5.0, 10.0])
     parser.add_argument("-ds", "--downscale", type=int, default=4,
@@ -84,7 +92,7 @@ def main(argv=None):
         patch_size=args.patch, tissue_threshold=args.tissue_threshold,
         downscale=args.downscale, batch_size=args.batch,
         threads=args.threads, mesh=mesh, default_power=args.default_power,
-        verbose=args.verbose)
+        decode_workers=args.decode_workers, verbose=args.verbose)
 
 
 if __name__ == "__main__":

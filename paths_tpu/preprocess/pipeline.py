@@ -198,13 +198,126 @@ def process_slide(path: str, slide_id: str, encode_fn: Callable, dim: int,
         wsi.close()
 
 
+def _decode_worker(wid: int, items: Sequence, magnifications: Sequence[float],
+                   store_root: str, opts: dict, q) -> None:
+    """Child-process decode producer (spawn): owns its WSI handles and a
+    read thread-pool, never touches the JAX device (batches ship
+    host-side; the consumer stages H2D). Message stream is keyed by
+    (slide_id, power) so several workers can interleave levels on one
+    queue. The reference's shape: 32 decode processes fanning into one
+    accelerator (`preprocess/preprocess.py:154,195-197`)."""
+    from paths_tpu.data.feature_store import FeatureStore as _FS
+    from paths_tpu.preprocess.wsi import open_wsi
+
+    store = _FS(store_root)
+    pool = ThreadPoolExecutor(max_workers=opts["threads"])
+    try:
+        for path, slide_id in items:
+            try:
+                wsi = open_wsi(path, opts["default_power"])
+            except Exception:
+                q.put(("error", (slide_id, None, traceback.format_exc())))
+                continue
+            try:
+                for power in magnifications:
+                    if store.exists(slide_id, power):
+                        continue
+                    key = (slide_id, power)
+                    try:
+                        n_rows, n_cols, cand = _level_plan(
+                            wsi, power, opts["patch_size"],
+                            opts["tissue_threshold"], opts["downscale"],
+                            camelyon=False)
+                        q.put(("level", (key, n_rows, n_cols, cand)))
+                        nb = math.ceil(len(cand) / opts["batch_size"])
+                        for bi in range(nb):
+                            arr, s, e = _read_batch(
+                                wsi, cand, bi, power, opts["patch_size"],
+                                opts["batch_size"], pool, False, False)
+                            q.put(("batch", (key, arr, s, e)))
+                        q.put(("flush", key))
+                    except Exception:
+                        q.put(("error", (slide_id, power,
+                                         traceback.format_exc())))
+            finally:
+                wsi.close()
+    finally:
+        pool.shutdown(wait=False)
+        q.put(("done", wid))
+
+
+def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
+                       decode_workers, patch_size, tissue_threshold,
+                       downscale, batch_size, threads, default_power, mesh,
+                       batches_ahead, stage_h2d, verbose) -> None:
+    """Multi-process decode fan-in: `decode_workers` spawn processes
+    decode slide shards in parallel and feed one bounded queue; the
+    parent stages batches to the device and encodes. Used by
+    `process_slides` when decode_workers >= 2."""
+    import multiprocessing as mp
+
+    import jax as _jax
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue(maxsize=max(batches_ahead, decode_workers))
+    opts = {"patch_size": patch_size, "tissue_threshold": tissue_threshold,
+            "downscale": downscale, "batch_size": batch_size,
+            "threads": threads, "default_power": default_power}
+    shards = [list(items)[i::decode_workers] for i in range(decode_workers)]
+    procs = [ctx.Process(target=_decode_worker,
+                         args=(i, shards[i], list(magnifications),
+                               store.root, opts, q), daemon=True)
+             for i in range(decode_workers) if shards[i]]
+    for p in procs:
+        p.start()
+
+    encode = _make_encode_jit(encode_fn, mesh)
+    open_levels: dict = {}   # key -> [n_rows, n_cols, cand, grid, in_flight]
+    done = 0
+    try:
+        while done < len(procs):
+            kind, payload = q.get()
+            if kind == "done":
+                done += 1
+            elif kind == "error":
+                slide_id, power, tb = payload
+                print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
+                print(tb)
+            elif kind == "level":
+                key, n_rows, n_cols, cand = payload
+                open_levels[key] = [cand,
+                                    np.zeros((n_rows, n_cols, dim),
+                                             np.float32), []]
+                if verbose:
+                    print(f"{key[0]} @ {key[1]}: {len(cand)}/"
+                          f"{n_rows * n_cols} cells pass tissue threshold")
+            elif kind == "batch" and payload[0] in open_levels:
+                key, arr, s, e = payload
+                if stage_h2d and mesh is None:
+                    arr = _jax.device_put(arr)
+                open_levels[key][2].append((encode(arr), s, e))
+            elif kind == "flush" and payload in open_levels:
+                cand, grid, in_flight = open_levels.pop(payload)
+                slide_id, power = payload
+                try:
+                    _drain_level(in_flight, cand, grid, batch_size)
+                    store.save(slide_id, power, grid)
+                except Exception:
+                    print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
+                    traceback.print_exc()
+    finally:
+        for p in procs:
+            p.terminate()
+            p.join(timeout=5)
+
+
 def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                    magnifications: Sequence[float], store: FeatureStore, *,
                    patch_size: int = 256, tissue_threshold: float = 0.1,
                    downscale: int = 4, batch_size: int = 64, threads: int = 8,
                    default_power: float = 40.0, mesh=None,
                    batches_ahead: int = 6, stage_h2d: bool = True,
-                   verbose: bool = False) -> None:
+                   decode_workers: int = 0, verbose: bool = False) -> None:
     """Pipelined multi-slide preprocessing: a producer thread walks every
     (slide, magnification), masks, reads patch batches, and stages them
     to the device through a bounded queue; the consumer encodes and
@@ -219,7 +332,23 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
     :param stage_h2d: issue the host->device copy from the producer
         thread (overlapping encode). False keeps batches host-side —
         used by the bench to time decode separately from transfer.
+    :param decode_workers: >= 2 fans decode across that many spawn
+        processes (one WSI handle each, round-robin slide shards) feeding
+        the same bounded queue — the reference's 32-process decode
+        fan-in, for many-core hosts where one thread can't saturate the
+        chip. 0/1 keeps the single producer thread (right for this
+        1-core dev host).
     """
+    if decode_workers and decode_workers >= 2:
+        return _process_slides_mp(
+            items, encode_fn, dim, magnifications, store,
+            decode_workers=decode_workers, patch_size=patch_size,
+            tissue_threshold=tissue_threshold, downscale=downscale,
+            batch_size=batch_size, threads=threads,
+            default_power=default_power, mesh=mesh,
+            batches_ahead=batches_ahead, stage_h2d=stage_h2d,
+            verbose=verbose)
+
     import queue
     import threading
 

@@ -245,3 +245,37 @@ def test_process_slides_tiled_jpeg_grid_contract(tmp_path):
         sel_a, sel_b = a.any(-1), b.any(-1)
         # tissue selection may flip on threshold-marginal cells only
         assert (sel_a != sel_b).mean() <= 0.15, (sel_a.sum(), sel_b.sum())
+
+
+def test_process_slides_multiprocess_matches_serial(tmp_path):
+    """decode_workers=2 (spawn fan-in) produces byte-identical grids to
+    the serial producer — the reference's multi-process decode shape
+    (`preprocess/preprocess.py:154,195-197`)."""
+    from paths_tpu.data.feature_store import FeatureStore
+    from paths_tpu.preprocess.pipeline import process_slides
+
+    import bench as _bench
+
+    items = []
+    for i in range(3):
+        img = _bench.make_synthetic_slide(grid_hw=(2, 2), patch=64, seed=i)
+        p = str(tmp_path / f"s{i}.npy")
+        np.save(p, img)
+        items.append((p, f"s{i}"))
+    powers = [2.5, 10.0]
+
+    def enc(arr):
+        a = np.asarray(arr, np.float32)
+        return a.reshape(a.shape[0], -1)[:, :6] / 255.0
+
+    grids = {}
+    for name, workers in [("serial", 0), ("mp", 2)]:
+        store = FeatureStore(str(tmp_path / f"store_{name}"), create=True)
+        process_slides(items, enc, 6, powers, store, patch_size=64,
+                       batch_size=4, threads=2, default_power=10.0,
+                       stage_h2d=False, decode_workers=workers)
+        grids[name] = [np.asarray(store.load(sid, p))
+                       for _, sid in items for p in powers]
+
+    for a, b in zip(grids["serial"], grids["mp"]):
+        np.testing.assert_array_equal(a, b)
