@@ -216,9 +216,9 @@ def heatmap_slide(config: Config, params: dict, encode_fn: Callable,
     fig.subplots_adjust(right=0.9)
 
     if out_path is not None:
-        if not out_path.endswith(".pdf"):
+        if not (out_path.endswith(".pdf") or out_path.endswith(".png")):
             out_path += ".pdf"
-        plt.savefig(out_path, format="pdf", dpi=200)
+        plt.savefig(out_path, dpi=200)
     if show:
         plt.show()
     plt.close(fig)

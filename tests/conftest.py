@@ -32,3 +32,10 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_addoption(parser):
+    parser.addoption("--regen-heatmap-golden", action="store_true",
+                     default=False,
+                     help="regenerate tests/fixtures/heatmap_golden.npz "
+                          "after an intentional renderer change")

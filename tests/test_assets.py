@@ -83,3 +83,39 @@ def test_hipt_splits_brca_fold0(tmp_path):
     assert val is None  # hipt_val_proportion == 0
     assert sorted(train.frame.case_id) == sorted(train_cases)
     assert sorted(test.frame.case_id) == sorted(test_cases)
+
+
+def test_brca_paths_0_mirror():
+    """The bundled flagship mirror: loads through Config.load, carries
+    the reference's hyperparameters (`models/brca_paths_0/config.json`
+    there) and its recorded 40-epoch history (train_stats.pkl: final
+    loss 0.0538, c-index 0.9712 — BASELINE.md)."""
+    import json
+    import os
+
+    from paths_tpu.config import Config
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models", "brca_paths_0")
+    cfg = Config.load(root, test_mode=True)
+    assert cfg.num_levels == 5 and cfg.base_power == 0.625
+    assert cfg.top_k_patches == [20, 20, 20, 20]
+    assert cfg.batch_size[0] == 32 and cfg.lr == 2e-5
+    mc = cfg.model_config
+    assert (mc.patch_embed_dim, mc.trans_dim, mc.trans_heads,
+            mc.trans_layers) == (1024, 128, 4, 2)
+    assert mc.pos_encoding_mode == "2d" and mc.lstm
+
+    with open(os.path.join(root, "train_stats.json")) as f:
+        stats = json.load(f)
+    assert stats["epoch"] == 40
+    assert abs(stats["train_loss"]["40"] - 0.0538) < 1e-3
+    assert abs(stats["train_c-index"]["40"] - 0.9712) < 1e-3
+    assert stats["val_loss"] == {}  # the reference run used no val split
+
+    # single source: bench + the graft entry must read this directory
+    import bench
+
+    bcfg = bench.flagship_config("/tmp/paths_tpu_assets_test")
+    assert bcfg.model_config.trans_dim == 128
+    assert bcfg.num_levels == 5
