@@ -76,7 +76,14 @@ def make_step_fns(config: Config, tx, mesh=None):
         seq_mesh = None
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def update(params, opt_state, bag0, tables, labels, rng):
+    def update(params, opt_state, bag0, tables, labels, rng, epoch=None):
+        if epoch is not None:
+            # per-epoch exponential LR decay folded into the step (torch
+            # ExponentialLR semantics, `config.py:130-131`): no host-side
+            # opt-state write between epochs
+            opt_state.hyperparams["learning_rate"] = (
+                config.lr * config.lr_decay_per_epoch ** (epoch - 1.0))
+
         def lf(p):
             return end2end_loss(p, config, bag0, tables, labels, rng=rng,
                                 deterministic=False, seq_mesh=seq_mesh)
@@ -305,8 +312,11 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
 
     for e in range(start_epoch, config.num_epochs + 1):
         t0 = time.time()
-        opt_state = set_lr(opt_state,
-                           config.lr * config.lr_decay_per_epoch**(e - 1))
+        epoch_arr = jax.numpy.asarray(float(e))
+        if streaming:
+            # the streaming opt_apply has no epoch input; set LR host-side
+            opt_state = set_lr(opt_state,
+                               config.lr * config.lr_decay_per_epoch**(e - 1))
         reg = _DeferredRegister(train_eval)
 
         if streaming:
@@ -332,7 +342,8 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                 bag0, tables, labels = shard_train_batch(mesh, bag0, tables,
                                                          labels)
                 params, opt_state, loss, aux = update(
-                    params, opt_state, bag0, tables, labels, step_rng)
+                    params, opt_state, bag0, tables, labels, step_rng,
+                    epoch_arr)
                 reg.push(labels, aux["pred"], loss, w)
 
         reg.flush()
