@@ -34,7 +34,7 @@ from paths_tpu.data.synthetic import make_synthetic_metadata, make_synthetic_sto
 from paths_tpu.engine.hierarchy import end2end_loss
 from paths_tpu.models.recursive import recursive_init
 from paths_tpu.runtime import setup_compilation_cache
-from paths_tpu.train.loop import make_optimizer, make_step_fns
+from paths_tpu.train.loop import make_optimizer, make_step_fns, make_train_rng
 
 B = 32
 WARMUP = 3
@@ -80,7 +80,7 @@ def bench_tpu(cfg: Config, batch) -> float:
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
     update, _ = make_step_fns(cfg, tx)
-    rng = jax.random.PRNGKey(1)
+    rng = make_train_rng(cfg)
 
     for _ in range(WARMUP):
         params, opt_state, loss, _ = update(params, opt_state, bag0, tables,

@@ -134,6 +134,12 @@ class Config:
     # and the pallas path is engaged: "gathered" (all-gather K/V, O(N)
     # per-chip memory) or "ring" (rotate K/V blocks, O(N/sp) memory)
     seq_attention: str = "gathered"
+    # PRNG for training randomness (dropout masks). "auto" = "rbg" on
+    # TPU, "threefry2x32" elsewhere: threefry dropout sampling costs
+    # ~5 ms of a 19 ms flagship train step on v5e (27% — measured,
+    # docs/ARCHITECTURE.md); rbg is the TPU-native counter RNG. Both
+    # draw iid Bernoulli masks; streams are deterministic per seed.
+    prng_impl: str = "auto"
     # "npz" (default, flat-array files) or "orbax" (Orbax
     # StandardCheckpointer tree: sharded-array aware, multi-host safe)
     checkpoint_backend: str = "npz"

@@ -39,6 +39,20 @@ from paths_tpu.train.logging import MetricsLogger
 from paths_tpu.train.state import load_state, save_state
 
 
+def make_train_rng(config: Config, offset: int = 1):
+    """Seeded typed PRNG key for training randomness; impl per
+    `config.prng_impl` ("auto" = rbg on TPU — the fast counter RNG —
+    threefry elsewhere, keeping CPU test trajectories byte-stable)."""
+    impl = getattr(config, "prng_impl", "auto")
+    if impl == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+        except Exception:  # noqa: BLE001 — backend probing must never raise
+            on_tpu = False
+        impl = "rbg" if on_tpu else "threefry2x32"
+    return jax.random.key(config.seed + offset, impl=impl)
+
+
 def make_optimizer(config: Config):
     """AdamW with injected (per-epoch mutable) learning rate — torch
     AdamW + ExponentialLR semantics (`train.py:49-50`, `config.py:130-131`).
@@ -252,7 +266,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
             return optax.apply_updates(params, updates), opt_state
 
     batch_size = config.batch_size[0]
-    rng = jax.random.PRNGKey(config.seed + 1)
+    rng = make_train_rng(config)
     best_val_score = -1.0
 
     def _register(evaluator, labels, pred, loss, w):

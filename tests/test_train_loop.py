@@ -231,3 +231,16 @@ def test_cli_train(ds, monkeypatch):
     assert os.path.isfile(os.path.join(mdir, "train_stats.json"))
     stats = json.load(open(os.path.join(mdir, "train_stats.json")))
     assert stats["epoch"] == 1
+
+
+def test_train_rbg_prng(ds):
+    """prng_impl="rbg" (the TPU default via "auto"): one epoch trains to
+    a finite loss; masks differ from threefry but semantics (iid
+    Bernoulli dropout) are the same."""
+    tmp, cfg, train, val, test = ds
+    cfg.prng_impl = "rbg"
+    cfg.model_config.dropout = 0.1
+    cfg.num_epochs = 1
+    stats = train_loop(cfg, os.path.join(tmp, "m_rbg"), train, val, test,
+                       mesh=make_mesh(1), verbose=False)
+    assert np.isfinite(stats["train_loss"][1])
