@@ -34,7 +34,12 @@ def main(argv=None):
 
     from paths_tpu.data.dataset import load_splits
     from paths_tpu.models.recursive import recursive_init
-    from paths_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from paths_tpu.parallel.mesh import (
+        data_axis_size,
+        mesh_from_config,
+        replicate,
+        shard_train_batch,
+    )
     from paths_tpu.train.evaluators import make_evaluator
     from paths_tpu.train.loop import _epoch_batches, make_optimizer, make_step_fns
     from paths_tpu.train.state import load_state
@@ -47,16 +52,16 @@ def main(argv=None):
     params, _, stats = load_state(args.model_dir, params, config=config)
     print(f"Loaded checkpoint from epoch {stats.get('epoch')}")
 
-    mesh = make_mesh(config.mesh_shape[0] if config.mesh_shape else None)
+    mesh = mesh_from_config(config)
     params = replicate(mesh, params)
-    _, evaluate = make_step_fns(config, make_optimizer(config))
+    _, evaluate = make_step_fns(config, make_optimizer(config), mesh=mesh)
 
     evaluator = make_evaluator(config, args.split)
     bs = args.batch_size or config.batch_size[0]
     for bag0, tables, labels, w in _epoch_batches(
-            ds, bs, shuffle=False, seed=0, mesh_size=mesh.devices.size,
+            ds, bs, shuffle=False, seed=0, mesh_size=data_axis_size(mesh),
             config=config):
-        bag0, tables, labels = shard_batch(mesh, (bag0, tables, labels))
+        bag0, tables, labels = shard_train_batch(mesh, bag0, tables, labels)
         loss, aux = evaluate(params, bag0, tables, labels)
         n_real = int(w.sum())
         host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}

@@ -200,6 +200,15 @@ def _mlp(p, x, swiglu, cd, gelu="exact"):
 
 
 def _block(blk, x, spec, cd, attn_impl="xla"):
+    if attn_impl == "fused1" and not spec.swiglu:
+        # whole block in ONE kernel: post-attention activations never
+        # round-trip HBM between the halves
+        from paths_tpu.kernels.vit_fused import fused_block
+
+        return fused_block(x, blk, num_heads=spec.num_heads,
+                           exact_gelu=(spec.gelu == "exact"))
+    if attn_impl == "fused1":
+        attn_impl = "fused"      # SwiGLU keeps the two-kernel fused path
     if attn_impl == "fused":
         # fully-fused Pallas block: activations stay in VMEM, weights
         # resident across the image grid (kernels/vit_fused.py)

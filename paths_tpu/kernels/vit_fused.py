@@ -96,10 +96,12 @@ def _attn_kernel(x_ref, nsc_ref, nbi_ref, qkvw_ref, qkvb_ref, projw_ref,
         s = s * sm_scale                                      # (g, n, n)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        ctx.append(_dot(
-            p.astype(cd), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(cd))
+        # defer the softmax normalization past the value matmul: one
+        # divide over (n, hd) instead of (n, n) — less VPU traffic
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        c_h = _dot(p.astype(cd), v, (((2,), (1,)), ((0,), (0,))),
+                   preferred_element_type=jnp.float32)
+        ctx.append((c_h / l).astype(cd))
     o = jnp.concatenate(ctx, axis=-1).reshape(g * n, d)       # (g·n, d)
 
     proj = _dot(o, projw_ref[...], (((1,), (0,)), ((), ())),
@@ -312,3 +314,113 @@ def fused_swiglu_mlp_block(x, norm_scale, norm_bias, fc1_w, fc1_b, fc2_w,
         interpret=INTERPRET,
     )(x, _row(norm_scale), _row(norm_bias), fc1_w, _row(fc1_b), fc1_w,
       _row(fc1_b), fc2_w, _row(fc2_b), _row(ls))
+
+
+# ------------------------------------------------- single-kernel full block
+
+def _block_kernel(x_ref, n1s_ref, n1b_ref, qkvw_ref, qkvb_ref, projw_ref,
+                  projb_ref, ls1_ref, n2s_ref, n2b_ref, fc1w_ref, fc1b_ref,
+                  fc2w_ref, fc2b_ref, ls2_ref, o_ref, x1_scr, acc_scr, *,
+                  num_heads, num_chunks, exact_gelu):
+    """Whole ViT block (attn + MLP) in ONE kernel: the post-attention
+    activation never round-trips HBM between the halves (the two-kernel
+    path pays read+write of x per half — ~40% of the per-block activation
+    traffic). Attention runs at chunk 0 into VMEM scratch; MLP chunks
+    accumulate over the inner grid axis as in `_mlp_kernel`."""
+    g, n, d = x_ref.shape
+    hd = d // num_heads
+    cd = x_ref.dtype
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _attn():
+        x = x_ref[...].reshape(g * n, d)
+        y = _layernorm(x, n1s_ref[0], n1b_ref[0]).astype(cd)
+        qkv = _dot(y, qkvw_ref[...], (((1,), (0,)), ((), ())))
+        qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(cd)
+        qkv = qkv.reshape(g, n, 3 * d)
+        sm_scale = 1.0 / math.sqrt(hd)
+        ctx = []
+        for h in range(num_heads):
+            q = qkv[:, :, h * hd:(h + 1) * hd]
+            k = qkv[:, :, d + h * hd:d + (h + 1) * hd]
+            v = qkv[:, :, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            s = _dot(q, k, (((2,), (2,)), ((0,), (0,)))) * sm_scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx.append(_dot(p.astype(cd), v,
+                            (((2,), (1,)), ((0,), (0,)))).astype(cd))
+        o = jnp.concatenate(ctx, axis=-1).reshape(g * n, d)
+        proj = _dot(o, projw_ref[...], (((1,), (0,)), ((), ())))
+        proj = proj + projb_ref[0].astype(jnp.float32)
+        proj = proj * ls1_ref[0].astype(jnp.float32)
+        x1 = x.astype(jnp.float32) + proj
+        x1_scr[...] = x1.astype(cd)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    y2 = _layernorm(x1_scr[...], n2s_ref[0], n2b_ref[0]).astype(cd)
+    h = _dot(y2, fc1w_ref[...], (((1,), (0,)), ((), ())))
+    h = h + fc1b_ref[0].astype(jnp.float32)
+    if exact_gelu:
+        h = 0.5 * h * (1.0 + _erf(h * (1.0 / math.sqrt(2.0))))
+    else:
+        h = jax.nn.gelu(h, approximate=True)
+    acc_scr[...] += _dot(h.astype(cd), fc2w_ref[...],
+                         (((1,), (0,)), ((), ())))
+
+    @pl.when(c == num_chunks - 1)
+    def _finalize():
+        x1 = x1_scr[...].astype(jnp.float32)
+        out = acc_scr[...] + fc2b_ref[0].astype(jnp.float32)
+        out = x1 + out * ls2_ref[0].astype(jnp.float32)
+        o_ref[...] = out.astype(cd).reshape(g, n, d)
+
+
+def fused_block(x, blk, *, num_heads: int, exact_gelu: bool = True,
+                group: int = 1, num_chunks: int = 1):
+    """One whole pre-norm ViT block (GELU MLP) as a single Pallas call.
+    `blk` is the per-block param dict (norm1/attn/norm2/mlp[/ls1/ls2])."""
+    b, n, d = x.shape
+    hidden = blk["mlp"]["fc1_w"].shape[1]
+    g = math.gcd(group, b)
+    if num_chunks < 1 or hidden % num_chunks:
+        raise ValueError(f"num_chunks={num_chunks} must divide {hidden}")
+    hc = hidden // num_chunks
+    ones = jnp.ones((d,), x.dtype)
+    ls1 = blk.get("ls1", ones)
+    ls2 = blk.get("ls2", ones)
+    kernel = functools.partial(_block_kernel, num_heads=num_heads,
+                               num_chunks=num_chunks,
+                               exact_gelu=exact_gelu)
+    w0 = lambda shape: pl.BlockSpec(shape, lambda i, c: (0,) * len(shape))
+    at, ml = blk["attn"], blk["mlp"]
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g, num_chunks),
+        in_specs=[
+            pl.BlockSpec((g, n, d), lambda i, c: (i, 0, 0)),
+            w0((1, d)), w0((1, d)),
+            w0((d, 3 * d)), w0((1, 3 * d)),
+            w0((d, d)), w0((1, d)), w0((1, d)),
+            w0((1, d)), w0((1, d)),
+            pl.BlockSpec((d, hc), lambda i, c: (0, c)),
+            pl.BlockSpec((1, hc), lambda i, c: (0, c)),
+            pl.BlockSpec((hc, d), lambda i, c: (c, 0)),
+            w0((1, d)), w0((1, d)),
+        ],
+        out_specs=pl.BlockSpec((g, n, d), lambda i, c: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g * n, d), x.dtype),      # x after attention
+            pltpu.VMEM((g * n, d), jnp.float32),  # fc2 accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(x, _row(blk["norm1"]["scale"]), _row(blk["norm1"]["bias"]),
+      at["qkv_w"], _row(at["qkv_b"]), at["proj_w"], _row(at["proj_b"]),
+      _row(ls1), _row(blk["norm2"]["scale"]), _row(blk["norm2"]["bias"]),
+      ml["fc1_w"], _row(ml["fc1_b"]), ml["fc2_w"], _row(ml["fc2_b"]),
+      _row(ls2))

@@ -190,3 +190,34 @@ def test_registry_random_init_shapes():
         size=(2, 224, 224, 3)).astype(np.float32))
     out = encode(imgs)
     assert out.shape == (2, 384) and dim == 384
+
+
+def test_fused1_single_kernel_block_matches_xla(monkeypatch):
+    """The single-kernel whole-block path (attn + MLP in one pallas_call,
+    no HBM round-trip between halves) vs XLA, incl. LayerScale and
+    chunked MLP accumulation."""
+    from paths_tpu.encoders.vit import stack_vit_blocks
+    from paths_tpu.kernels import vit_fused
+
+    monkeypatch.setattr(vit_fused, "INTERPRET", True)
+    spec = small_spec(embed_dim=32, layer_scale=True, depth=2, num_heads=2)
+    _, j = _vit_pair(spec, seed=9)
+    j = stack_vit_blocks(j)
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
+    ref = vit_apply(j, imgs, compute_dtype=jnp.float32, attn_impl="xla")
+    out = vit_apply(j, imgs, compute_dtype=jnp.float32, attn_impl="fused1")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # chunked accumulation inside the single kernel
+    from paths_tpu.encoders.vit import ViTSpec, vit_init
+
+    p = vit_init(1, ViTSpec(img_size=32, patch_size=8, embed_dim=64,
+                            depth=1, num_heads=2, mlp_ratio=4.0))
+    blk = p["blocks"][0]
+    x = jnp.asarray(rng.normal(size=(2, 17, 64)).astype(np.float32))
+    from paths_tpu.encoders.vit import _block
+
+    r = _block(blk, x, p["spec"].value, jnp.float32, "xla")
+    g = vit_fused.fused_block(x, blk, num_heads=2, num_chunks=4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=3e-5)
