@@ -31,7 +31,6 @@ import numpy as np
 from paths_tpu.config import Config
 from paths_tpu.data.dataset import collate_batch, load_splits
 from paths_tpu.data.synthetic import make_synthetic_metadata, make_synthetic_store
-from paths_tpu.engine.hierarchy import end2end_loss
 from paths_tpu.models.recursive import recursive_init
 from paths_tpu.runtime import setup_compilation_cache
 from paths_tpu.train.loop import make_optimizer, make_step_fns, make_train_rng
