@@ -244,3 +244,21 @@ def test_train_rbg_prng(ds):
     stats = train_loop(cfg, os.path.join(tmp, "m_rbg"), train, val, test,
                        mesh=make_mesh(1), verbose=False)
     assert np.isfinite(stats["train_loss"][1])
+
+
+def test_make_train_rng_impls(tmp_path):
+    """"auto" resolves to threefry on CPU (byte-stable test trajectories);
+    explicit "rbg" yields a typed rbg key; both seed deterministically."""
+    import jax
+
+    from paths_tpu.train.loop import make_train_rng
+
+    cfg = tiny_train_config(str(tmp_path))
+    k1 = make_train_rng(cfg)
+    assert "threefry" in str(jax.random.key_impl(k1))
+    cfg.prng_impl = "rbg"
+    k2 = make_train_rng(cfg)
+    assert "rbg" in str(jax.random.key_impl(k2))
+    k3 = make_train_rng(cfg)
+    assert jax.numpy.array_equal(jax.random.key_data(k2),
+                                 jax.random.key_data(k3))
