@@ -134,6 +134,11 @@ class Config:
     # and the pallas path is engaged: "gathered" (all-gather K/V, O(N)
     # per-chip memory) or "ring" (rotate K/V blocks, O(N/sp) memory)
     seq_attention: str = "gathered"
+    # rematerialize each level's forward in the backward pass
+    # (jax.checkpoint): activation HBM drops from O(sum of level widths)
+    # to O(widest level) at ~1/3 extra FLOPs — the standard trade for
+    # training with oversize level-0 bags on one chip
+    remat: bool = False
     # PRNG for training randomness (dropout masks). "auto" = "rbg" on
     # TPU, "threefry2x32" elsewhere: threefry dropout sampling costs
     # ~5 ms of a 19 ms flagship train step on v5e (27% — measured,

@@ -193,8 +193,18 @@ def end2end_forward(params: dict, config: Config, bag0: PatchBag,
     bag = bag0
     for i in range(config.num_levels):
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
-        out = recursive_apply(params, config, i, bag, rng=lrng,
-                              deterministic=deterministic, seq_mesh=seq_mesh)
+
+        def level_fwd(params, bag, lrng, _i=i):
+            return recursive_apply(params, config, _i, bag, rng=lrng,
+                                   deterministic=deterministic,
+                                   seq_mesh=seq_mesh)
+
+        if getattr(config, "remat", False):
+            # recompute this level's activations in the backward pass:
+            # peak activation HBM becomes O(widest level) instead of the
+            # sum over levels — the knob for oversize level-0 bags
+            level_fwd = jax.checkpoint(level_fwd)
+        out = level_fwd(params, bag, lrng)
         outs.append({**out, "bag": bag})
         if i != config.num_levels - 1:
             bag = hierarchy_step(bag, out, tables[i],

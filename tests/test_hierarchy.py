@@ -277,3 +277,36 @@ def test_end2end_loss_and_grad():
         g = grads["procs"][i]["importance_mlp"]["layers"][0]["w"]
         assert float(jnp.linalg.norm(g)) > 0, f"no grad into level {i}"
     assert float(jnp.linalg.norm(grads["lstm"]["forget_gate"]["w"])) > 0
+
+
+def test_remat_gradients_match():
+    """config.remat=True (per-level jax.checkpoint) must not change the
+    loss or gradients — only when activations are (re)computed."""
+    import dataclasses
+
+    import jax
+
+    from test_model_parity import small_config
+
+    cfg = small_config()
+    rng = np.random.default_rng(11)
+    dims = [(2, 3), (4, 6), (8, 12)]
+    slides = [make_grids(rng, dims, cfg.model_config.patch_embed_dim)
+              for _ in range(2)]
+    bag0, tables = jax_inputs(slides, cfg)
+    from paths_tpu.models.recursive import recursive_init
+
+    labels = {"survival_bin": jnp.asarray([1, 0]),
+              "censored": jnp.asarray([0, 1])}
+    params = recursive_init(jax.random.PRNGKey(3), cfg)
+
+    def lf(p, c):
+        return end2end_loss(p, c, bag0, tables, labels)[0]
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    (l0, g0) = jax.value_and_grad(lambda p: lf(p, cfg))(params)
+    (l1, g1) = jax.value_and_grad(lambda p: lf(p, cfg_r))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
