@@ -24,6 +24,9 @@ def main(argv=None):
                         help="Path to model directory containing config.json")
     parser.add_argument("--wandb-project-name", type=str, default="PATHS")
     parser.add_argument("--no-wandb", action="store_true")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace of the "
+                             "run into DIR (Perfetto/TensorBoard)")
     args = parser.parse_args(argv)
 
     config = Config.load(args.model_dir)
@@ -46,7 +49,14 @@ def main(argv=None):
     logger = MetricsLogger(args.model_dir, config.to_dict(),
                            project=args.wandb_project_name,
                            use_wandb="no" if args.no_wandb else "auto")
-    train_loop(config, args.model_dir, train, val, test, logger=logger)
+    if args.profile:
+        from paths_tpu.profiling import trace
+
+        with trace(args.profile):
+            train_loop(config, args.model_dir, train, val, test,
+                       logger=logger)
+    else:
+        train_loop(config, args.model_dir, train, val, test, logger=logger)
 
 
 if __name__ == "__main__":

@@ -75,3 +75,29 @@ def test_evaluate_cli(tmp_path):
     train_main(["-m", mdir, "--no-wandb"])
     out = eval_main(["-m", mdir, "--split", "test"])
     assert "test_c-index" in out and np.isfinite(out["test_loss"])
+
+
+def test_cli_train_profile_flag(tmp_path):
+    """--profile DIR wraps the run in a jax.profiler trace and leaves a
+    trace artifact behind."""
+    import os
+
+    from paths_tpu.cli.train import main as train_main
+    from paths_tpu.data.synthetic import (
+        make_synthetic_metadata,
+        make_synthetic_store,
+    )
+    from test_train_loop import tiny_train_config
+
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp, num_epochs=1)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=6,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    mdir = os.path.join(tmp, "model_prof")
+    os.makedirs(mdir)
+    cfg.save(mdir)
+    tdir = os.path.join(tmp, "trace")
+    train_main(["-m", mdir, "--no-wandb", "--profile", tdir])
+    assert any("plugins" in r or f for r, _, f in os.walk(tdir)), (
+        "no trace artifacts written")
