@@ -101,3 +101,29 @@ def test_cli_train_profile_flag(tmp_path):
     train_main(["-m", mdir, "--no-wandb", "--profile", tdir])
     assert any("plugins" in r or f for r, _, f in os.walk(tdir)), (
         "no trace artifacts written")
+
+
+def test_evaluate_cli_2d_mesh(tmp_path):
+    """config.mesh_shape=[2, 4] drives the evaluate CLI through the same
+    2-D (data x model) mesh path as train_loop."""
+    from paths_tpu.cli.evaluate import main as eval_main
+    from paths_tpu.cli.train import main as train_main
+    from paths_tpu.data.synthetic import (
+        make_synthetic_metadata,
+        make_synthetic_store,
+    )
+    from test_train_loop import tiny_train_config
+
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp, num_epochs=1)
+    cfg.mesh_shape = [2, 4]
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=8,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    mdir = os.path.join(tmp, "model")
+    os.makedirs(mdir)
+    cfg.save(mdir)
+
+    train_main(["-m", mdir, "--no-wandb"])
+    out = eval_main(["-m", mdir, "--split", "test"])
+    assert "test_c-index" in out and np.isfinite(out["test_loss"])
