@@ -4,11 +4,14 @@ order a real user runs them.
     python examples/run_synthetic_demo.py [--workdir DIR] [--encoder NAME]
 
 1. fabricate raw WSIs (uint8 `.npy` pyramids) + a TCGA-style metadata CSV
-2. `paths_tpu.cli.preprocess`  — tissue masking + patch encoding -> grids
-3. `paths_tpu.cli.train`      — hierarchical training with val evals
-4. `paths_tpu.cli.evaluate`   — test-split metrics
-5. `paths_tpu.cli.predict`    — per-slide risk CSV
-6. `paths_tpu.cli.heatmap`    — importance-heatmap PDF for one slide
+2. `paths_tpu.cli.verify_conversion` — certify the encoder weights file
+   (here: a freshly saved timm-keyed random checkpoint standing in for a
+   real UNI download)
+3. `paths_tpu.cli.preprocess`  — tissue masking + patch encoding -> grids
+4. `paths_tpu.cli.train`      — hierarchical training with val evals
+5. `paths_tpu.cli.evaluate`   — test-split metrics
+6. `paths_tpu.cli.predict`    — per-slide risk CSV
+7. `paths_tpu.cli.heatmap`    — importance-heatmap PDF for one slide
 
 Runs on one TPU chip or CPU (~2 min on CPU with the tiny defaults).
 The encoder is randomly initialized (no network access); with real
@@ -77,20 +80,38 @@ def main():
     store_dir = os.path.join(wd, "preprocessed")
     model_dir = os.path.join(wd, "model")
 
-    print("== 1/6 fabricate raw slides")
+    print("== 1/7 fabricate raw slides")
     ids = make_raw_slides(slide_dir, args.slides)
 
-    print("== 2/6 preprocess (tissue mask + patch encode)")
+    print("== 2/7 verify encoder weights (drop-in certification)")
+    weights = args.weights
+    if weights is None:
+        # stand-in for a real downloaded checkpoint: a timm-keyed random
+        # state_dict of the chosen architecture, saved with torch
+        import torch
+
+        from paths_tpu.encoders.registry import _VIT_SPECS
+        from paths_tpu.encoders.torch_mirror import timm_vit_mirror
+
+        torch.manual_seed(0)
+        spec, _ = _VIT_SPECS[args.encoder.lower()]
+        weights = os.path.join(wd, "encoder_sd.pt")
+        torch.save(timm_vit_mirror(spec).state_dict(), weights)
+    from paths_tpu.cli.verify_conversion import main as verify
+
+    verify(["--model", args.encoder, "--weights", weights, "--images", "1"])
+
+    print("== 3/7 preprocess (tissue mask + patch encode)")
     from paths_tpu.cli.preprocess import main as preprocess
 
     # base objective power 10 so the demo pyramid spans 0.625x..10x
     preprocess(["-m", args.encoder, "-d", slide_dir, "-o", store_dir,
                 "-b", "16", "-p", "64", "-ms", "0.625", "1.25", "2.5", "5",
                 "10", "--ext", ".npy", "--default-power", "10",
-                *(["--weights", args.weights] if args.weights else [])])
+                "--weights", weights])
 
     _, dim, _ = from_name(args.encoder)
-    print(f"== 3/6 train ({args.epochs} epochs, encoder dim {dim})")
+    print(f"== 4/7 train ({args.epochs} epochs, encoder dim {dim})")
     make_metadata(os.path.join(wd, "meta.csv"), ids)
 
     from paths_tpu.config import Config, PATHSProcessorConfig
@@ -111,18 +132,18 @@ def main():
 
     train(["-m", model_dir, "--no-wandb"])
 
-    print("== 4/6 evaluate")
+    print("== 5/7 evaluate")
     from paths_tpu.cli.evaluate import main as evaluate
 
     metrics = evaluate(["-m", model_dir, "--split", "test"])
 
-    print("== 5/6 predict")
+    print("== 6/7 predict")
     from paths_tpu.cli.predict import main as predict
 
     preds_csv = os.path.join(wd, "predictions.csv")
     predict(["-m", model_dir, "--split", "test", "-o", preds_csv])
 
-    print("== 6/6 heatmap")
+    print("== 7/7 heatmap")
     from paths_tpu.cli.heatmap import main as heatmap
 
     pdf = os.path.join(wd, "heatmap.pdf")
@@ -130,7 +151,7 @@ def main():
              os.path.join(slide_dir, f"{ids[0]}.npy"), "-o", pdf,
              "--encoder", args.encoder, "--no-camelyon",
              "--tissue-threshold", "0.05", "--default-power", "10",
-             *(["--weights", args.weights] if args.weights else [])])
+             "--weights", weights])
 
     print("\n=== demo complete ===")
     print("metrics:", json.dumps(metrics))

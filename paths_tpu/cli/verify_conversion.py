@@ -163,11 +163,12 @@ def main(argv=None):
 
     import jax
 
-    # parity-grade numerics: f32 everywhere, no bf16 matmul passes
-    jax.config.update("jax_default_matmul_precision", "highest")
-
-    res = run(args.model, args.weights, n_images=args.images,
-              seed=args.seed, tol=args.tol)
+    # parity-grade numerics: f32 everywhere, no bf16 matmul passes —
+    # scoped so callers chaining other stages (e.g. the demo) keep their
+    # own precision defaults
+    with jax.default_matmul_precision("highest"):
+        res = run(args.model, args.weights, n_images=args.images,
+                  seed=args.seed, tol=args.tol)
     layout = res.get("pos_layout", "-")
     print(f"{args.model}: pos_layout={layout} "
           f"max_abs_err={res['max_abs']:.3e} max_rel_err={res['max_rel']:.3e} "

@@ -107,12 +107,15 @@ def seq_sharded_flash_attention(mesh: Mesh, q, k, v, lengths, *,
 def _combine(o1, lse1, o2, lse2):
     """Fold two attention partials over disjoint key sets into one:
     out = softmax-weighted average by exp(lse), lse = logaddexp. Empty
-    partials carry lse ~ -1e30 and weight out to zero."""
+    partials carry lse ~ -1e30 and weight out to zero. Accumulates in
+    f32 regardless of the input dtype (the scan carry stays f32; callers
+    cast back)."""
     m = jnp.maximum(lse1, lse2)
     w1 = jnp.exp(lse1 - m)
     w2 = jnp.exp(lse2 - m)
     den = jnp.maximum(w1 + w2, 1e-30)
-    out = (o1 * (w1 / den)[..., None] + o2 * (w2 / den)[..., None])
+    out = (o1.astype(jnp.float32) * (w1 / den)[..., None]
+           + o2.astype(jnp.float32) * (w2 / den)[..., None])
     return out, m + jnp.log(den)
 
 
@@ -147,9 +150,13 @@ def _ring_local_fwd(q, k, v, axis, sp, block_q, block_k, lengths):
         v_cur = lax.ppermute(v_cur, axis, perm)
         return (out, lse, k_cur, v_cur), None
 
-    init = (jnp.zeros_like(q), jnp.full((b, h, nq), -jnp.inf, jnp.float32),
-            k, v)
+    # the running (out, lse) carry is f32 at ANY input dtype — bf16
+    # inputs would otherwise mismatch the scan carry after _combine's
+    # f32 promotion
+    init = (jnp.zeros(q.shape, jnp.float32),
+            jnp.full((b, h, nq), -jnp.inf, jnp.float32), k, v)
     (out, lse, _, _), _ = lax.scan(body, init, jnp.arange(sp))
+    out = out.astype(q.dtype)
     return out, (q, k, v, lengths, out, lse)
 
 

@@ -144,3 +144,25 @@ def test_ring_gradients_match():
         _shard(mesh, q), _shard(mesh, k), _shard(mesh, v))
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_ring_bfloat16():
+    """bf16 inputs: the ring scan's f32 (out, lse) carry must not
+    mismatch (regression: zeros_like(q) init crashed the scan), and the
+    result matches the f32 reference to bf16 tolerance."""
+    import jax.numpy as jnp
+
+    from paths_tpu.parallel.seq_attention import ring_flash_attention
+
+    mesh = _mesh()
+    q, k, v, lengths = _case(seed=13)
+    ref = reference_attention(q, k, v, lengths)
+    qb, kb, vb = (jnp.asarray(a, jnp.bfloat16) for a in (q, k, v))
+    out = ring_flash_attention(
+        mesh, _shard(mesh, qb), _shard(mesh, kb), _shard(mesh, vb), lengths,
+        block_q=8, block_k=8)
+    assert out.dtype == jnp.bfloat16
+    for bi, ln in enumerate(np.asarray(lengths)):
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32)[bi, :, :ln],
+            np.asarray(ref)[bi, :, :ln], atol=5e-2)
