@@ -102,19 +102,36 @@ class StreamingEngine:
     With a multi-device `mesh`, gathered bags and recorded lookups are
     placed sharded along the `data` axis; params stay replicated, so XLA
     inserts the gradient all-reduce in the replay pass exactly as in the
-    fused engine's train step."""
+    fused engine's train step.
+
+    A 2-D (data x model) mesh adds sequence parallelism: the level-0
+    bag arrives with its patch axis sharded along `model`
+    (`shard_bag_patches`), and the model's attention is threaded a
+    `SeqSharding` so oversize bags route to the sequence-parallel flash
+    kernels (gathered-KV or ring, per `config.seq_attention`) — the
+    streaming counterpart of the fused engine's `make_step_fns` wiring.
+    Deeper-level bags (4·top_k patches) stay data-sharded; their small
+    attention never engages the kernel under `attention_impl="auto"`."""
 
     def __init__(self, config: Config, mesh: Optional[Mesh] = None):
         self.config = config
         self._shard = (NamedSharding(mesh, P("data"))
                        if mesh is not None and mesh.devices.size > 1 else None)
+        if mesh is not None and int(mesh.shape.get("model", 1)) > 1:
+            from paths_tpu.parallel.seq_attention import SeqSharding
+
+            seq_mesh = SeqSharding(mesh, impl=config.seq_attention)
+        else:
+            seq_mesh = None
+        self._seq_mesh = seq_mesh
 
         cfg = config
 
         @partial(jax.jit, static_argnames=("depth", "deterministic"))
         def fwd(params, bag, rng, depth, deterministic):
             return recursive_apply(params, cfg, depth, bag, rng=rng,
-                                   deterministic=deterministic)
+                                   deterministic=deterministic,
+                                   seq_mesh=seq_mesh)
 
         @partial(jax.jit, static_argnames=("k",))
         def select(bag, out, k):
@@ -166,7 +183,8 @@ class StreamingEngine:
         for i in range(cfg.num_levels):
             lrng = jax.random.fold_in(rng, i) if rng is not None else None
             out = recursive_apply(params, cfg, i, bag, rng=lrng,
-                                  deterministic=deterministic)
+                                  deterministic=deterministic,
+                                  seq_mesh=self._seq_mesh)
             if i != cfg.num_levels - 1:
                 sel = select_children(bag, out, cfg.top_k_patches[i],
                                       cfg.model_config.patch_size)

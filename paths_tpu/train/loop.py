@@ -192,8 +192,11 @@ def _epoch_batches_streaming(dataset: SlideDataset, batch_size: int, *,
     mesh), per-slide host table dicts for the deeper levels (tables never
     leave host RAM). A background thread loads/collates batch k+1 — the
     mmap table loads and level-0 collation overlap the device's selection
-    and replay passes for batch k."""
+    and replay passes for batch k. On a 2-D (data x model) mesh the
+    level-0 patch axis is sharded along `model` (sequence parallelism —
+    the StreamingEngine routes attention accordingly)."""
     from paths_tpu.data.dataset import collate_bag0
+    from paths_tpu.parallel.mesh import shard_bag_patches
 
     def gen():
         order = np.arange(len(dataset))
@@ -211,7 +214,11 @@ def _epoch_batches_streaming(dataset: SlideDataset, batch_size: int, *,
             labels = {k: jax.numpy.asarray(v) for k, v in labels.items()}
             labels["weight"] = jax.numpy.asarray(w)
             if mesh is not None and mesh.devices.size > 1:
-                bag0, labels = shard_batch(mesh, (bag0, labels))
+                if seq_axis_size(mesh) > 1:
+                    bag0 = shard_bag_patches(mesh, bag0)
+                    labels = shard_batch(mesh, labels)
+                else:
+                    bag0, labels = shard_batch(mesh, (bag0, labels))
             yield bag0, host_tables, labels, w, slides
 
     if prefetch:

@@ -123,6 +123,75 @@ def test_streaming_dp_matches_single_device(tmp_path):
                                    rtol=2e-4)
 
 
+def test_streaming_seq_parallel_matches_1d(tmp_path):
+    """engine='streaming' on a 2-D (2 data x 4 model) mesh — level-0 bag
+    patch-sharded along `model`, attention threaded a SeqSharding —
+    reproduces the 1-device streaming trajectory (backlog: streaming +
+    sequence parallelism)."""
+    import os
+
+    from paths_tpu.parallel.mesh import make_mesh
+    from paths_tpu.train.loop import train_loop
+
+    cfg, _ = setup(tmp_path, n=10)
+    cfg.engine = "streaming"
+    cfg.num_epochs = 2
+    train, val, test = load_splits([0.6, 0.2, 0.2], seed=0, config=cfg,
+                                   preload=False)
+    cfg.mesh_shape = [1]
+    s1 = train_loop(cfg, os.path.join(str(tmp_path), "sq1"),
+                    train, val, test, mesh=make_mesh(1), verbose=False)
+    cfg.mesh_shape = [2, 4]
+    s24 = train_loop(cfg, os.path.join(str(tmp_path), "sq24"),
+                     train, val, test, verbose=False)
+    for e in s1["train_loss"]:
+        np.testing.assert_allclose(s1["train_loss"][e], s24["train_loss"][e],
+                                   rtol=5e-4)
+
+
+def test_streaming_seq_flash_kernel_grad_matches(tmp_path):
+    """Streaming loss_and_grad with attention routed through the
+    sequence-parallel flash kernel (attention_impl='pallas', interpreter)
+    on a (2 data x 4 model) mesh matches the fused single-device
+    gradients — selections, replay, and the shard_map custom VJP all
+    agree."""
+    import paths_tpu.kernels.flash_attention as fa
+    from paths_tpu.parallel.mesh import (
+        make_mesh_2d,
+        replicate,
+        shard_bag_patches,
+    )
+
+    cfg, ds = setup(tmp_path)
+    idx = [0, 1, 2, 3]
+    bag0, tables, labels = collate_batch(ds, idx, level0_bucket=8)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+
+    # reference on the plain XLA path, single device
+    (loss_f, aux_f), grads_f = jax.value_and_grad(
+        lambda p: end2end_loss(p, cfg, bag0, tables, labels),
+        has_aux=True)(params)
+
+    cfg.attention_impl = "pallas"   # force the kernel for every bag size
+    mesh = make_mesh_2d(2, 4)
+    eng = StreamingEngine(cfg, mesh=mesh)
+    assert eng._seq_mesh is not None and eng._seq_mesh.size == 4
+    fa.INTERPRET = True
+    try:
+        loss_s, pred_s, grads_s = eng.loss_and_grad(
+            replicate(mesh, params), shard_bag_patches(mesh, bag0),
+            strip_tables(ds, idx), labels, deterministic=True)
+        np.testing.assert_allclose(float(loss_s), float(loss_f), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(pred_s),
+                                   np.asarray(aux_f["pred"]), atol=2e-5)
+        for gf, gs in zip(jax.tree_util.tree_leaves(grads_f),
+                          jax.tree_util.tree_leaves(grads_s)):
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(gf),
+                                       atol=5e-5)
+    finally:
+        fa.INTERPRET = False
+
+
 def test_lookup_host_fallback(tmp_path):
     """Host lookup reproduces the all-background fallback."""
     from paths_tpu.engine.tables import build_level_table
