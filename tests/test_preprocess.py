@@ -279,3 +279,41 @@ def test_process_slides_multiprocess_matches_serial(tmp_path):
 
     for a, b in zip(grids["serial"], grids["mp"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_process_slides_mesh_sharded_staging(tmp_path):
+    """With a `data` mesh, patch batches are staged H2D pre-sharded from
+    the producer thread (`_make_stager`) so each chip's slice crosses its
+    own link; grids must match the serial single-device path exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from paths_tpu.preprocess.pipeline import process_slides
+
+    encode, dim = _dummy_encoder()
+    img, _ = make_fake_slide(rows=512, cols=640)
+    p = os.path.join(str(tmp_path), "s0.npy")
+    np.save(p, img)
+
+    ref_store = FeatureStore(str(tmp_path / "ref"), create=True)
+    process_slide(p, "s0", encode, dim, [2.5, 5.0], ref_store,
+                  patch_size=128, batch_size=8, threads=2,
+                  default_power=10.0)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    mesh_store = FeatureStore(str(tmp_path / "mesh"), create=True)
+    process_slides([(p, "s0")], encode, dim, [2.5, 5.0], mesh_store,
+                   patch_size=128, batch_size=8, threads=2,
+                   default_power=10.0, mesh=mesh)
+
+    for power in (2.5, 5.0):
+        got = np.asarray(mesh_store.load("s0", power))
+        np.testing.assert_allclose(
+            got, np.asarray(ref_store.load("s0", power)), atol=1e-6)
+
+    # per-slide path exercises its own stager under the mesh too
+    lvl_wsi = open_wsi(p, 10.0)
+    grid = process_level(lvl_wsi, encode, dim, power=5.0, patch_size=128,
+                         batch_size=8, threads=2, mesh=mesh)
+    np.testing.assert_allclose(
+        grid, np.asarray(ref_store.load("s0", 5.0)), atol=1e-6)
