@@ -29,8 +29,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from paths_tpu.config import Config
-    from paths_tpu.runtime import set_matmul_precision, setup_compilation_cache
+    from paths_tpu.runtime import (
+        maybe_init_distributed,
+        set_matmul_precision,
+        setup_compilation_cache,
+    )
 
+    maybe_init_distributed()   # no-op without coordinator env vars
     config = Config.load(args.model_dir)
     setup_compilation_cache()
     set_matmul_precision(config.compute_dtype)

@@ -29,10 +29,20 @@ def main(argv=None):
                              "run into DIR (Perfetto/TensorBoard)")
     args = parser.parse_args(argv)
 
+    from paths_tpu.runtime import (
+        maybe_init_distributed,
+        set_matmul_precision,
+        setup_compilation_cache,
+    )
+
+    # multi-host (pod) runs: every host runs this same command; a no-op
+    # unless coordinator env vars are set (JAX_COORDINATOR_ADDRESS [+
+    # JAX_NUM_PROCESSES/JAX_PROCESS_ID off-TPU]). Must run before the
+    # first backend touch so jax.devices() is global.
+    maybe_init_distributed()
+
     config = Config.load(args.model_dir)
     np.random.seed(config.seed)
-
-    from paths_tpu.runtime import set_matmul_precision, setup_compilation_cache
 
     setup_compilation_cache()
     # exact f32 matmuls for reference-faithful training numerics; the
