@@ -151,13 +151,27 @@ def load_state(root_path: str, params, opt_state=None,
             opt_state = _unflatten(opt_state, dict(z.items()))
 
     stats_path = os.path.join(root_path, "train_stats.json")
-    if not os.path.isfile(stats_path):
+    pkl_path = os.path.join(root_path, "train_stats.pkl")
+    if os.path.isfile(stats_path):
+        with open(stats_path) as f:
+            train_stats = json.load(f)
+        # json stringifies int epoch keys in metric histories
+        for k, v in train_stats.items():
+            if isinstance(v, dict):
+                train_stats[k] = {int(e): x for e, x in v.items()}
+    elif os.path.isfile(pkl_path):
+        # a reference-format model dir (`utils.py:169-198` pickles the
+        # stats dict): resume continues from ITS epoch counter and metric
+        # histories instead of silently restarting at epoch 1; our next
+        # save writes train_stats.json, which takes precedence from then
+        # on
+        import pickle
+
+        with open(pkl_path, "rb") as f:
+            train_stats = pickle.load(f)
+        print(f"Loaded reference train stats {pkl_path} "
+              f"(epoch {train_stats.get('epoch')})")
+    else:
         print("No train stats found, assuming first run")
-        return params, opt_state, {"epoch": 1}
-    with open(stats_path) as f:
-        train_stats = json.load(f)
-    # json stringifies int epoch keys in metric histories
-    for k, v in train_stats.items():
-        if isinstance(v, dict):
-            train_stats[k] = {int(e): x for e, x in v.items()}
+        train_stats = {"epoch": 1}
     return params, opt_state, train_stats

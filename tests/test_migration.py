@@ -37,6 +37,29 @@ def test_load_reference_torch_checkpoint(tmp_path):
     assert stats == {"epoch": 1}  # no train_stats -> fresh run
 
 
+def test_load_reference_train_stats_pkl(tmp_path):
+    """A reference model dir's pickled `train_stats.pkl`
+    (`utils.py:169-198`) resumes the epoch counter and metric histories;
+    a native train_stats.json takes precedence when both exist."""
+    import json
+    import pickle
+
+    cfg = small_config()
+    ref_stats = {"epoch": 17, "train_loss": {1: 1.5, 16: 0.2},
+                 "train_c-index": {16: 0.9}, "val_loss": {}}
+    with open(os.path.join(str(tmp_path), "train_stats.pkl"), "wb") as f:
+        pickle.dump(ref_stats, f)
+
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    _, _, stats = load_state(str(tmp_path), params, config=cfg)
+    assert stats == ref_stats
+
+    with open(os.path.join(str(tmp_path), "train_stats.json"), "w") as f:
+        json.dump({"epoch": 3, "train_loss": {"2": 0.7}}, f)
+    _, _, stats = load_state(str(tmp_path), params, config=cfg)
+    assert stats == {"epoch": 3, "train_loss": {2: 0.7}}
+
+
 def test_native_checkpoint_preferred_over_torch(tmp_path):
     """model.npz wins when both formats are present."""
     from paths_tpu.train.state import save_state
