@@ -52,10 +52,11 @@ def main():
     sync_global_devices("paths_tpu_multihost_warmup")
 
     import __graft_entry__ as g
+    from paths_tpu.parallel.mesh import replicate, shard_train_batch
     from paths_tpu.train.loop import make_optimizer, make_step_fns
 
     # identical on both processes (seeded synthesis)
-    cfg, params, bag0, tables, labels = g._flagship(
+    cfg, params_h, bag0_h, tables_h, labels_h = g._flagship(
         num_levels=3, level0_hw=(2, 3), b=8)
     mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
 
@@ -71,10 +72,10 @@ def main():
 
         return jax.tree_util.tree_map(put, tree)
 
-    params = to_global(params, P())
     tx = make_optimizer(cfg)
+    params = to_global(params_h, P())
     opt_state = tx.init(params)
-    bag0, tables, labels = to_global((bag0, tables, labels), P("data"))
+    bag0, tables, labels = to_global((bag0_h, tables_h, labels_h), P("data"))
 
     update, _ = make_step_fns(cfg, tx)
     # AOT-compile BEFORE executing: each worker compiles the big step
@@ -90,6 +91,18 @@ def main():
                                           labels, rng)
     jax.block_until_ready(loss)
     assert bool(jax.numpy.isfinite(loss)), loss
+
+    # the PRODUCTION staging path: train_loop stages batches with plain
+    # device_put (replicate / shard_train_batch), which must form the
+    # same global arrays cross-process as the explicit
+    # make_array_from_process_local_data assembly above — same compiled
+    # step, identical loss. (params/opt were donated; rebuild.)
+    params2 = replicate(mesh, params_h)
+    opt2 = tx.init(params2)
+    bag2, tab2, lab2 = shard_train_batch(mesh, bag0_h, tables_h, labels_h)
+    _, _, loss2, _ = compiled(params2, opt2, bag2, tab2, lab2, rng)
+    jax.block_until_ready(loss2)
+    assert float(loss2) == float(loss), (float(loss2), float(loss))
     print(f"MULTIHOST_LOSS={float(loss):.6f}")
 
 
