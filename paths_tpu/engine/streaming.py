@@ -162,8 +162,13 @@ class StreamingEngine:
             outs.append({**out, "bag": bag})
             if i != cfg.num_levels - 1:
                 sel = self._select(bag, out, cfg.top_k_patches[i])
-                lk = lookup_host(np.asarray(sel["child_locs"]),
-                                 np.asarray(sel["child_kvalid"]),
+                # ONE device->host sync for both coordinate arrays: on
+                # high-latency links each separate np.asarray pays a full
+                # round trip, and this sync sits on the critical path of
+                # every level
+                locs_h, kvalid_h = jax.device_get(
+                    (sel["child_locs"], sel["child_kvalid"]))
+                lk = lookup_host(np.asarray(locs_h), np.asarray(kvalid_h),
                                  [ts[i] for ts in host_tables])
                 if self._shard is not None:
                     lk_dev = jax.device_put(lk, self._shard)
