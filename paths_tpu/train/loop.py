@@ -164,14 +164,20 @@ def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
                    seed: int, mesh_size: int, config: Config,
                    prefetch: int = 2, pads=None):
     """Yield (bag0, tables, labels, weights) with mesh-size padding,
-    prefetched on a background thread."""
+    prefetched on a background thread. Under static shapes (`pads`), the
+    final partial batch also pads up to the full batch width so every
+    batch compiles to ONE program — otherwise the last batch of each
+    split is a second multi-minute remote compile of the big step."""
+    target = (-(-batch_size // mesh_size) * mesh_size if pads is not None
+              else mesh_size)
+
     def gen():
         order = np.arange(len(dataset))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         for s in range(0, len(order), batch_size):
             idx = order[s: s + batch_size].tolist()
-            idx, w = pad_batch_indices(idx, mesh_size)
+            idx, w = pad_batch_indices(idx, target)
             bag0, tables, labels = collate_batch(
                 dataset, idx, level0_bucket=config.level0_bucket, pads=pads)
             labels = dict(labels)
@@ -198,13 +204,18 @@ def _epoch_batches_streaming(dataset: SlideDataset, batch_size: int, *,
     from paths_tpu.data.dataset import collate_bag0
     from paths_tpu.parallel.mesh import shard_bag_patches
 
+    # static shapes: pad the final partial batch to the full batch width
+    # (same single-program contract as _epoch_batches)
+    target = (-(-batch_size // mesh_size) * mesh_size if pads is not None
+              else mesh_size)
+
     def gen():
         order = np.arange(len(dataset))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         for s in range(0, len(order), batch_size):
             idx = order[s: s + batch_size].tolist()
-            idx, w = pad_batch_indices(idx, mesh_size)
+            idx, w = pad_batch_indices(idx, target)
             bag0 = collate_bag0(dataset, idx,
                                 level0_bucket=config.level0_bucket,
                                 pads=pads)

@@ -241,3 +241,39 @@ def test_streaming_static_shapes_no_retrace(tmp_path):
     assert len(w) == 1, f"streaming retrace hazard: widths {w}"
     # level0-only pads scan must agree with the full scan's n0
     assert pads["n0"] == ds.global_pads()["n0"]
+
+
+def test_epoch_batches_pad_final_batch_under_static_shapes(tmp_path):
+    """With static_shapes pads, the FINAL partial batch pads up to the
+    full batch width (one compiled program per run); without pads it
+    keeps its natural size. 8 slides / batch 3 -> tail of 2."""
+    from paths_tpu.train.loop import _epoch_batches, _epoch_batches_streaming
+
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=8,
+                               base_hw=(4, 5))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    ds = load_splits([1.0, 0.0, 0.0], seed=0, config=cfg)[0]
+    pads = ds.global_pads()
+
+    def batch_dims(pads):
+        # yields (bag0, tables, labels, w)
+        return [(bag0.fts.shape[0], int(labels["weight"].shape[0]),
+                 float(np.sum(w)))
+                for bag0, tables, labels, w in _epoch_batches(
+                    ds, 3, shuffle=False, seed=0, mesh_size=1, config=cfg,
+                    prefetch=0, pads=pads)]
+
+    dims = batch_dims(pads)
+    assert [d[0] for d in dims] == [3, 3, 3]          # tail padded 2 -> 3
+    assert [d[1] for d in dims] == [3, 3, 3]          # weights match width
+    assert [d[2] for d in dims] == [3.0, 3.0, 2.0]    # pad weight is 0
+
+    dims = batch_dims(None)
+    assert [d[0] for d in dims] == [3, 3, 2]          # natural tail
+
+    sdims = [bag0.fts.shape[0] for bag0, *_ in _epoch_batches_streaming(
+        ds, 3, shuffle=False, seed=0, mesh_size=1, config=cfg,
+        prefetch=0, pads=ds.global_pads(level0_only=True))]
+    assert sdims == [3, 3, 3]
