@@ -32,6 +32,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from paths_tpu.config import Config
 from paths_tpu.engine.tables import LevelTable
@@ -40,7 +41,13 @@ from paths_tpu.models.recursive import recursive_apply
 from paths_tpu.ops.losses import cross_entropy_loss, nll_survival_loss
 from paths_tpu.ops.masking import masked_topk
 
-CHILD_OFFSETS = jnp.array([[0, 0], [0, 1], [1, 0], [1, 1]], jnp.int32)
+# Child quadrant offsets (`data_utils/slide.py:305-315` in the reference).
+# Deliberately numpy, NOT jnp: a module-level device array becomes a
+# committed HLO *device* constant in every jitted program that uses it,
+# and lowering then has to fetch it device->host (measured 135 s for
+# these 32 bytes through this host's remote-device tunnel, every process
+# start). A numpy constant embeds directly into the HLO at trace time.
+CHILD_OFFSETS = np.array([[0, 0], [0, 1], [1, 0], [1, 1]], np.int32)
 
 
 def _compact(mask: jnp.ndarray, *arrays):

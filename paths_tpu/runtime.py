@@ -17,7 +17,11 @@ def setup_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get("PATHS_TPU_CACHE", _DEFAULT_CACHE)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist EVERY compile, however small: with a remote-compile tunnel
+    # each sub-second op (threefry_split, squeeze, ...) still pays
+    # ~0.4-0.5s of round-trip; a resume touches dozens of them, which
+    # measured as ~75s of a ~132s restart before this was set to 0.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
