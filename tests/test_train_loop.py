@@ -262,3 +262,43 @@ def test_make_train_rng_impls(tmp_path):
     k3 = make_train_rng(cfg)
     assert jax.numpy.array_equal(jax.random.key_data(k2),
                                  jax.random.key_data(k3))
+
+
+def test_no_device_constants_in_step_programs(ds):
+    """The jaxprs of the train/eval steps must embed no jax.Array
+    constants — a committed device array in the closure becomes a
+    *device* HLO constant that lowering fetches device->host on every
+    process start (32 bytes measured 135s through a remote-device
+    tunnel; see CHILD_OFFSETS in engine/hierarchy.py). Host numpy
+    constants are fine: they embed into the HLO at trace time."""
+    import jax
+
+    from paths_tpu.data.dataset import union_pads
+    from paths_tpu.models.recursive import recursive_init
+    from paths_tpu.train.loop import (_epoch_batches, make_optimizer,
+                                      make_step_fns, make_train_rng,
+                                      mesh_from_config)
+
+    tmp, cfg, train, val, test = ds
+    mesh = mesh_from_config(cfg)
+    pads = union_pads(*(d.global_pads() for d in [train, val, test]))
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    update, evaluate = make_step_fns(cfg, tx, mesh=mesh)
+    bag0, tables, labels, w = next(iter(_epoch_batches(
+        train, cfg.batch_size[0], shuffle=False, seed=0, mesh_size=1,
+        config=cfg, pads=pads)))
+    rng = make_train_rng(cfg)
+    ep = jax.numpy.asarray(1.0)
+
+    for name, jaxpr in [
+        ("update", jax.make_jaxpr(update.__wrapped__)(
+            params, opt_state, bag0, tables, labels, rng, ep)),
+        ("evaluate", jax.make_jaxpr(evaluate.__wrapped__)(
+            params, bag0, tables, labels)),
+    ]:
+        offenders = [(type(c).__name__, getattr(c, "shape", None))
+                     for c in jaxpr.consts if isinstance(c, jax.Array)]
+        assert not offenders, \
+            f"{name} embeds device-array constants: {offenders}"
