@@ -85,3 +85,19 @@ def test_export_cli(tmp_path, monkeypatch):
     blob = open(out_path, "rb").read()
     exp = load_serving(blob)
     assert exp.in_avals  # program loaded; shapes recorded
+
+
+def test_export_multiplatform_from_cpu(tmp_path):
+    """A TPU+CPU artifact exports from a CPU-only host (lowering needs
+    no device) and still runs here — the real deployment workflow:
+    export on a dev box, serve on the TPU fleet."""
+    cfg, params, bag0, tables = setup(tmp_path)
+    blob = export_serving(cfg, params, bag0, tables,
+                          platforms=["tpu", "cpu"])
+    exp = load_serving(blob)
+    assert set(exp.platforms) == {"tpu", "cpu"}
+    out = exp.call(params, bag_to_dict(bag0), tables_to_dicts(tables))
+    live = make_serving_fn(cfg)(params, bag_to_dict(bag0),
+                                tables_to_dicts(tables))
+    np.testing.assert_allclose(np.asarray(out["pred"]),
+                               np.asarray(live["pred"]), rtol=1e-6)
