@@ -12,6 +12,7 @@ order a real user runs them.
 5. `paths_tpu.cli.evaluate`   — test-split metrics
 6. `paths_tpu.cli.predict`    — per-slide risk CSV
 7. `paths_tpu.cli.heatmap`    — importance-heatmap PDF for one slide
+8. `paths_tpu.cli.export`     — frozen StableHLO serving artifact
 
 Runs on one TPU chip or CPU (~2 min on CPU with the tiny defaults).
 The encoder is randomly initialized (no network access); with real
@@ -80,10 +81,10 @@ def main():
     store_dir = os.path.join(wd, "preprocessed")
     model_dir = os.path.join(wd, "model")
 
-    print("== 1/7 fabricate raw slides")
+    print("== 1/8 fabricate raw slides")
     ids = make_raw_slides(slide_dir, args.slides)
 
-    print("== 2/7 verify encoder weights (drop-in certification)")
+    print("== 2/8 verify encoder weights (drop-in certification)")
     weights = args.weights
     if weights is None:
         # stand-in for a real downloaded checkpoint: a timm-keyed random
@@ -101,7 +102,7 @@ def main():
 
     verify(["--model", args.encoder, "--weights", weights, "--images", "1"])
 
-    print("== 3/7 preprocess (tissue mask + patch encode)")
+    print("== 3/8 preprocess (tissue mask + patch encode)")
     from paths_tpu.cli.preprocess import main as preprocess
 
     # base objective power 10 so the demo pyramid spans 0.625x..10x
@@ -111,7 +112,7 @@ def main():
                 "--weights", weights])
 
     _, dim, _ = from_name(args.encoder)
-    print(f"== 4/7 train ({args.epochs} epochs, encoder dim {dim})")
+    print(f"== 4/8 train ({args.epochs} epochs, encoder dim {dim})")
     make_metadata(os.path.join(wd, "meta.csv"), ids)
 
     from paths_tpu.config import Config, PATHSProcessorConfig
@@ -132,18 +133,18 @@ def main():
 
     train(["-m", model_dir, "--no-wandb"])
 
-    print("== 5/7 evaluate")
+    print("== 5/8 evaluate")
     from paths_tpu.cli.evaluate import main as evaluate
 
     metrics = evaluate(["-m", model_dir, "--split", "test"])
 
-    print("== 6/7 predict")
+    print("== 6/8 predict")
     from paths_tpu.cli.predict import main as predict
 
     preds_csv = os.path.join(wd, "predictions.csv")
     predict(["-m", model_dir, "--split", "test", "-o", preds_csv])
 
-    print("== 7/7 heatmap")
+    print("== 7/8 heatmap")
     from paths_tpu.cli.heatmap import main as heatmap
 
     pdf = os.path.join(wd, "heatmap.pdf")
@@ -153,10 +154,23 @@ def main():
              "--tissue-threshold", "0.05", "--default-power", "10",
              "--weights", weights])
 
+    print("== 8/8 export serving artifact (frozen StableHLO)")
+    from paths_tpu.cli.export import main as export
+
+    artifact = os.path.join(wd, "model.shlo")
+    export(["-m", model_dir, "-o", artifact, "--freeze",
+            "--batch-size", "2"])
+    from paths_tpu.export import load_serving
+
+    exp = load_serving(open(artifact, "rb").read())
+    print(f"artifact reloads: platforms={exp.platforms}, "
+          f"{len(exp.in_avals)} inputs")
+
     print("\n=== demo complete ===")
     print("metrics:", json.dumps(metrics))
     print("predictions:", preds_csv)
     print("heatmap:", pdf)
+    print("serving artifact:", artifact)
     stats = json.load(open(os.path.join(model_dir, "train_stats.json")))
     print("train loss:", stats["train_loss"])
     return metrics
