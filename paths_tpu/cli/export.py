@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--freeze", action="store_true",
                         help="bake weights into the artifact (self-"
                              "contained, call(bag, tables))")
+    parser.add_argument("--poly-batch", action="store_true",
+                        help="export the batch axis as a symbolic "
+                             "dimension (one artifact, any batch size)")
     parser.add_argument("--platforms", nargs="+", default=None,
                         help="lowering platforms, e.g. --platforms tpu cpu")
     args = parser.parse_args(argv)
@@ -63,12 +66,14 @@ def main(argv=None):
 
     blob = export_serving(config, params, bag0, tables,
                           freeze_params=args.freeze,
+                          poly_batch=args.poly_batch,
                           platforms=args.platforms)
     with open(args.out, "wb") as f:
         f.write(blob)
     kind = "frozen (weights baked in)" if args.freeze else "weights-as-args"
+    batch = "symbolic" if args.poly_batch else str(bs)
     print(f"Wrote {args.out}: {len(blob)/1e6:.2f} MB, {kind}, "
-          f"batch={bs}, level0={bag0.fts.shape[1]} patches",
+          f"batch={batch}, level0={bag0.fts.shape[1]} patches",
           file=sys.stderr)
 
 

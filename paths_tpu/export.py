@@ -94,18 +94,26 @@ def make_serving_fn(config: Config):
 
 def export_serving(config: Config, params, bag, tables, *,
                    freeze_params: bool = False,
+                   poly_batch: bool = False,
                    platforms: Optional[List[str]] = None) -> bytes:
     """Serialize the serving forward for the given input SHAPES.
 
     `bag`/`tables` are a representative batch (a `PatchBag` and
     `LevelTable` list, or the equivalent dicts) — only their avals
     matter. `platforms` defaults to the export host's platform; pass
-    e.g. ["tpu", "cpu"] for a multi-platform artifact.
+    e.g. ["tpu", "cpu"] for a multi-platform artifact. With
+    `poly_batch` the leading (batch) axis of every bag/table input is
+    exported as a symbolic dimension, so ONE artifact serves any batch
+    size (the patch/grid axes stay fixed — the trainer's static-shape
+    contract).
     """
     serve = make_serving_fn(config)
     bag_d = bag if isinstance(bag, dict) else bag_to_dict(bag)
     tab_d = (tables if tables and isinstance(tables[0], dict)
              else tables_to_dicts(tables))
+    if poly_batch:
+        bag_d, tab_d = jax.export.symbolic_args_specs((bag_d, tab_d),
+                                                      "b, ...")
 
     kw = {"platforms": platforms} if platforms else {}
     if freeze_params:

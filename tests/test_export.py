@@ -101,3 +101,21 @@ def test_export_multiplatform_from_cpu(tmp_path):
                                 tables_to_dicts(tables))
     np.testing.assert_allclose(np.asarray(out["pred"]),
                                np.asarray(live["pred"]), rtol=1e-6)
+
+
+def test_export_poly_batch(tmp_path):
+    """One artifact with a symbolic batch axis serves every batch size;
+    parity with the live forward at a size never seen at export."""
+    cfg, params, bag0, tables = setup(tmp_path)
+    blob = export_serving(cfg, params, bag0, tables, poly_batch=True)
+    exp = load_serving(blob)
+    bag_d, tab_d = bag_to_dict(bag0), tables_to_dicts(tables)
+
+    for B in (1, 3):
+        sub_bag = {k: v[:B] for k, v in bag_d.items()}
+        sub_tab = [{k: v[:B] for k, v in t.items()} for t in tab_d]
+        out = exp.call(params, sub_bag, sub_tab)
+        assert np.asarray(out["pred"]).shape[0] == B
+        live = make_serving_fn(cfg)(params, sub_bag, sub_tab)
+        np.testing.assert_allclose(np.asarray(out["pred"]),
+                                   np.asarray(live["pred"]), rtol=1e-6)
