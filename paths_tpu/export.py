@@ -129,3 +129,25 @@ def load_serving(blob: bytes):
     """Deserialize an artifact; returns an object whose `.call(...)`
     runs the program (no model code needed)."""
     return jax.export.deserialize(blob)
+
+
+def artifact_pads(exp) -> tuple:
+    """(batch_size, pads) recovered from an artifact's input shapes.
+
+    `pads` is a `SlideDataset.global_pads()`-style dict; feed it to
+    `collate_batch(..., level0_bucket=1, row_bucket=1, grid_bucket=1,
+    pads=pads)` to collate arbitrary slides to EXACTLY the shapes the
+    artifact was exported with. `batch_size` is None for a
+    `poly_batch` artifact (symbolic leading axis — any batch works).
+    """
+    args, _kwargs = jax.tree_util.tree_unflatten(exp.in_tree,
+                                                 exp.in_avals)
+    # (params, bag, tables) for weights-as-args; (bag, tables) if frozen
+    bag, tables = args[-2], args[-1]
+    assert set(bag) == set(BAG_FIELDS), sorted(bag)
+
+    b, n0 = bag["mask"].shape
+    rows = [0] + [t["fts"].shape[1] for t in tables]
+    grid_hw = [(0, 0)] + [tuple(t["index"].shape[1:3]) for t in tables]
+    batch = int(b) if isinstance(b, int) else None  # symbolic -> None
+    return batch, {"n0": int(n0), "rows": rows, "grid_hw": grid_hw}

@@ -119,3 +119,36 @@ def test_export_poly_batch(tmp_path):
         live = make_serving_fn(cfg)(params, sub_bag, sub_tab)
         np.testing.assert_allclose(np.asarray(out["pred"]),
                                    np.asarray(live["pred"]), rtol=1e-6)
+
+
+def test_artifact_pads_roundtrip(tmp_path):
+    """A serving host can recover exact collation pads from the
+    artifact and collate a FRESH batch (different slides) to shapes the
+    program accepts."""
+    from paths_tpu.export import artifact_pads
+
+    cfg, params, bag0, tables = setup(tmp_path)
+    blob = export_serving(cfg, params, bag0, tables)
+    exp = load_serving(blob)
+
+    batch, pads = artifact_pads(exp)
+    assert batch == 4 and pads["n0"] == bag0.fts.shape[1]
+    assert pads["rows"][1:] == [t.fts.shape[1] for t in tables]
+    assert pads["grid_hw"][1:] == [tuple(t.index.shape[1:3])
+                                   for t in tables]
+
+    # different slides, collated purely from the artifact's pads
+    ds = load_splits([1.0, 0.0, 0.0], seed=0,
+                     config=cfg)[0]
+    bag2, tab2, _ = collate_batch(ds, [2, 3, 4, 5], level0_bucket=1,
+                                  row_bucket=1, grid_bucket=1, pads=pads)
+    out = exp.call(params, bag_to_dict(bag2), tables_to_dicts(tab2))
+    live = make_serving_fn(cfg)(params, bag_to_dict(bag2),
+                                tables_to_dicts(tab2))
+    np.testing.assert_allclose(np.asarray(out["pred"]),
+                               np.asarray(live["pred"]), rtol=1e-6)
+
+    # poly-batch artifact reports batch=None
+    blob = export_serving(cfg, params, bag0, tables, poly_batch=True)
+    batch, pads2 = artifact_pads(load_serving(blob))
+    assert batch is None and pads2 == pads
