@@ -152,3 +152,42 @@ def test_artifact_pads_roundtrip(tmp_path):
     blob = export_serving(cfg, params, bag0, tables, poly_batch=True)
     batch, pads2 = artifact_pads(load_serving(blob))
     assert batch is None and pads2 == pads
+
+
+def test_export_model_variants(tmp_path):
+    """Export parity across config variants the flagship doesn't use:
+    subtype-classification task, 1d pos-encoding, rnn (no-LSTM) ctx."""
+    import pytest
+
+    for i, kw in enumerate([
+        dict(task="subtype_classification",
+             filter_to_subtypes=["IDC", "ILC"]),
+        dict(model_kw=dict(pos_encoding_mode="1d")),
+        dict(model_kw=dict(lstm=False, hierarchical_ctx=False)),
+    ]):
+        tmp = str(tmp_path / f"v{i}")
+        model_kw = kw.pop("model_kw", {})
+        cfg = tiny_train_config(tmp, **kw)
+        for k, v in model_kw.items():
+            setattr(cfg.model_config, k, v)
+        ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=6,
+                                   base_hw=(3, 3))
+        make_synthetic_metadata(
+            cfg.csv_path, ids,
+            subtypes=(["IDC", "ILC"]
+                      if cfg.task == "subtype_classification" else None))
+        ds = load_splits([1.0, 0.0, 0.0], seed=0, config=cfg)[0]
+        pads = union_pads(ds.global_pads())
+        bag0, tables, _ = collate_batch(ds, [0, 1],
+                                        level0_bucket=cfg.level0_bucket,
+                                        pads=pads)
+        params = recursive_init(jax.random.PRNGKey(i), cfg)
+
+        blob = export_serving(cfg, params, bag0, tables)
+        out = load_serving(blob).call(params, bag_to_dict(bag0),
+                                      tables_to_dicts(tables))
+        live = make_serving_fn(cfg)(params, bag_to_dict(bag0),
+                                    tables_to_dicts(tables))
+        np.testing.assert_allclose(np.asarray(out["pred"]),
+                                   np.asarray(live["pred"]), rtol=1e-6,
+                                   err_msg=str(kw or model_kw))
