@@ -138,9 +138,17 @@ class TiledJpegWSI:
     Like an .svs, a few downsampled pyramid levels are stored; a read
     decodes tiles from the smallest stored level at or above the
     requested power, then resamples (nearest). A small decoded-tile LRU
-    keeps neighboring reads from re-decoding."""
+    keeps neighboring reads from re-decoding.
 
-    def __init__(self, path: str, cache_tiles: int = 64):
+    Decode goes through the native batched decoder when built
+    (`paths_tpu/native/jpegdec.cpp`): all tiles a read needs decode in
+    ONE GIL-free OpenMP call instead of a PIL call per tile — the decode
+    fan-out the reference buys with 32 processes
+    (`preprocess/preprocess.py:154,195-197`), inside one process.
+    PIL is the fallback (`decoder="pil"` forces it)."""
+
+    def __init__(self, path: str, cache_tiles: int = 64,
+                 decoder: str = "auto"):
         import json
 
         self.path = path
@@ -151,6 +159,17 @@ class TiledJpegWSI:
         self.levels = meta["levels"]   # descending power
         self._cache: "OrderedDict" = OrderedDict()
         self._cache_tiles = cache_tiles
+        if decoder == "auto":
+            from paths_tpu.native import jpeg as _njpeg
+
+            self._native = _njpeg if _njpeg.available() else None
+        elif decoder == "native":
+            from paths_tpu.native import jpeg as _njpeg
+
+            assert _njpeg.available(), "native decoder not built"
+            self._native = _njpeg
+        else:
+            self._native = None
 
     def objective_power(self) -> float:
         return self.base_power
@@ -179,6 +198,33 @@ class TiledJpegWSI:
             self._cache.popitem(last=False)
         return img
 
+    def _prefetch_tiles(self, keys) -> None:
+        """Batch-decode every uncached tile in `keys` with one native
+        call (parallel across tiles); no-op without the native library
+        (read_rect then falls back to per-tile PIL in `_tile`)."""
+        if self._native is None:
+            return
+        missing = [k for k in keys if k not in self._cache]
+        if not missing:
+            return
+        bufs = []
+        for li, tr, tc in missing:
+            with open(os.path.join(self.path, f"L{li}_t{tr}_{tc}.jpg"),
+                      "rb") as f:
+                bufs.append(f.read())
+        decoded = self._native.decode_batch(bufs, (self.tile, self.tile))
+        if decoded is None:
+            return
+        out, dims = decoded
+        for k, slot, (h, w) in zip(missing, out, dims):
+            if h < 0:          # corrupt tile: let PIL raise the real error
+                continue
+            self._cache[k] = slot[:h, :w]
+        # one oversize read may need more tiles than the steady-state cap;
+        # never evict tiles this very read is about to consume
+        while len(self._cache) > max(self._cache_tiles, len(keys)):
+            self._cache.popitem(last=False)
+
     def read_rect(self, loc, size, power) -> np.ndarray:
         li = self._pick_level(power)
         lv = self.levels[li]
@@ -193,9 +239,17 @@ class TiledJpegWSI:
         ye, xe = min(y0 + hb, H), min(x0 + wb, W)
         t = self.tile
         if ye > ys and xe > xs:
-            for tr in range(ys // t, (ye - 1) // t + 1):
-                for tc in range(xs // t, (xe - 1) // t + 1):
-                    tile = self._tile(li, tr, tc)
+            keys = [(li, tr, tc)
+                    for tr in range(ys // t, (ye - 1) // t + 1)
+                    for tc in range(xs // t, (xe - 1) // t + 1)]
+            self._prefetch_tiles(keys)
+            # an oversize read (whole-level mask read) may span more tiles
+            # than the steady-state cache cap: hold them all until done
+            cap, self._cache_tiles = (self._cache_tiles,
+                                      max(self._cache_tiles, len(keys)))
+            try:
+                for li_, tr, tc in keys:
+                    tile = self._tile(li_, tr, tc)
                     ty0, tx0 = tr * t, tc * t
                     cy0, cx0 = max(ys, ty0), max(xs, tx0)
                     cy1 = min(ye, ty0 + tile.shape[0])
@@ -204,6 +258,10 @@ class TiledJpegWSI:
                         out[cy0 - y0: cy1 - y0, cx0 - x0: cx1 - x0] = \
                             tile[cy0 - ty0: cy1 - ty0,
                                  cx0 - tx0: cx1 - tx0]
+            finally:
+                self._cache_tiles = cap
+                while len(self._cache) > cap:
+                    self._cache.popitem(last=False)
         if (hb, wb) == tuple(size):
             return out
         ys_i = np.clip((np.arange(size[0]) * hb / size[0]).astype(int), 0,
