@@ -242,6 +242,7 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
         "preprocess_encode_exposed_s": round(max(t_full - t_stage, 0.0), 2),
         "preprocess_total_s": round(t_full, 2),
         "preprocess_decode_workers": 0,   # single producer (1-core host)
+        "preprocess_native_decode": _native_jpeg_available(),
         # MFU of the WHOLE pipeline wall (host decode + H2D included) —
         # the encoder's own MFU is the standalone img/s figure; on
         # tunneled dev hosts the transfer share dominates this number
@@ -325,7 +326,27 @@ def bench_reference_torch(cfg: Config, seed: int = 0) -> float:
     return min(times) * (B / bt)
 
 
+def _native_jpeg_available() -> bool:
+    from paths_tpu.native import jpeg as njpeg
+
+    return njpeg.available()
+
+
+def _build_native() -> None:
+    """Best-effort build of the native host kernels (table build + batched
+    JPEG decode) so the bench measures the production decode path; numpy/
+    PIL fallbacks keep the bench valid when no toolchain is present."""
+    try:
+        from paths_tpu.native.build import build, build_jpeg
+
+        build(verbose=False)
+        build_jpeg(verbose=False)
+    except Exception as e:
+        print(f"native build skipped: {e}", file=sys.stderr)
+
+
 def main():
+    _build_native()
     setup_compilation_cache()
     tmp = os.environ.get("PATHS_TPU_BENCH_DIR", "/tmp/paths_tpu_bench")
     os.makedirs(tmp, exist_ok=True)

@@ -38,7 +38,7 @@ def test_bench_preprocess_fields():
                 "preprocess_patches_per_slide", "preprocess_decode_s",
                 "preprocess_h2d_s", "preprocess_encode_exposed_s",
                 "preprocess_total_s", "preprocess_decode_workers",
-                "preprocess_pipeline_mfu"}
+                "preprocess_pipeline_mfu", "preprocess_native_decode"}
     assert set(r) == expected, r
     assert r["preprocess_patches_per_slide"] > 0
     assert r["preprocess_slides_per_hour"] > 0
