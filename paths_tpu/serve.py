@@ -1,0 +1,200 @@
+"""Serving session: slide-id in, prediction out.
+
+The reference has no serving layer at all — inference only exists inside
+the training script's eval loop (`/root/reference/train.py:106-116`).
+This module is the deployment-side counterpart of `paths_tpu.export`: it
+owns a feature store, assembles statically-shaped batches for requested
+slide ids, and runs them through either a frozen StableHLO artifact
+(exact export-time shapes, zero model code in the hot path) or a live
+jitted model. `paths_tpu.cli.serve` wraps it in an HTTP endpoint.
+
+Shape discipline: artifact sessions collate with the EXACT pads the
+artifact was exported with (`export.artifact_pads`), so every request
+hits the one precompiled program; live sessions use the trainer's
+bucketed collation (bounded compile count under varying slide sizes).
+"""
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from paths_tpu.config import Config, power_str
+from paths_tpu.data.dataset import SlideDataset, collate_batch
+from paths_tpu.data.feature_store import FeatureStore
+
+
+def store_slide_ids(store: FeatureStore, base_power: float) -> List[str]:
+    """Slide ids with a base-power grid present in the store (the same
+    presence rule the dataset loader uses to keep a row,
+    reference `data_utils/dataset.py:29-39`)."""
+    suffix_len = len(f"_{power_str(base_power)}")
+    ids = set()
+    for fn in os.listdir(store.root):
+        stem, ext = os.path.splitext(fn)
+        if ext in (".npy", ".pt") and stem.endswith(
+                f"_{power_str(base_power)}"):
+            ids.add(stem[:-suffix_len])
+    return sorted(ids)
+
+
+def serving_dataset(config: Config, store: FeatureStore,
+                    slide_ids: Sequence[str],
+                    cache_slides: bool = True) -> SlideDataset:
+    """A label-free `SlideDataset` over arbitrary slide ids: serving has
+    no survival/subtype labels, so dummy columns satisfy the dataset
+    contract (they are never read on the prediction path)."""
+    frame = pd.DataFrame({
+        "slide_id": [f"{sid}.svs" for sid in slide_ids],
+        "survival_months": 0.5,
+        "censorship": 1,
+    })
+    if config.task == "subtype_classification":
+        frame["oncotree_code"] = config.filter_to_subtypes[0]
+    return SlideDataset(frame, [0.0, 1.0], config, store, preload=False,
+                        cache_slides=cache_slides)
+
+
+class ServingSession:
+    """Batched slide-level prediction over a feature store.
+
+    :param model_dir: trained model directory (config + checkpoint)
+    :param store_root: feature-store root; defaults to the config's
+        `preprocess_dir`
+    :param artifact: path to a `cli.export` StableHLO artifact. Frozen
+        artifacts run self-contained; weights-as-arguments artifacts
+        take params from the model_dir checkpoint. Without an artifact,
+        the live jitted model serves.
+    :param batch_size: serving batch width (live sessions only; an
+        artifact fixes its own batch unless exported `--poly-batch`)
+    :param cache_slides: keep materialized slide tables in RAM across
+        requests (trade memory for repeat-request latency)
+    """
+
+    def __init__(self, model_dir: str, store_root: Optional[str] = None,
+                 artifact: Optional[str] = None,
+                 batch_size: Optional[int] = None,
+                 cache_slides: bool = True):
+        import jax
+
+        self.config = Config.load(model_dir, test_mode=True)
+        self.model_dir = model_dir
+        self.store = FeatureStore(store_root or self.config.preprocess_dir)
+        self.slide_ids = store_slide_ids(self.store, self.config.base_power)
+        self._dataset = serving_dataset(self.config, self.store,
+                                        self.slide_ids,
+                                        cache_slides=cache_slides)
+        self._index: Dict[str, int] = {sid: i
+                                       for i, sid in enumerate(self.slide_ids)}
+        self._lock = threading.Lock()   # one batch on device at a time
+
+        self._params = None
+        if artifact:
+            from paths_tpu.export import artifact_pads, load_serving
+
+            with open(artifact, "rb") as f:
+                self._exp = load_serving(f.read())
+            self.batch_size, self._pads = artifact_pads(self._exp)
+            args, _ = jax.tree_util.tree_unflatten(self._exp.in_tree,
+                                                   self._exp.in_avals)
+            self._frozen = len(args) == 2          # (bag, tables)
+            if self.batch_size is None:            # poly-batch artifact
+                self.batch_size = batch_size or self.config.batch_size[0]
+            if not self._frozen:
+                self._params = self._load_params()
+            self._call = self._exp.call
+        else:
+            from paths_tpu.export import make_serving_fn
+
+            self._exp = None
+            self._frozen = False
+            self._pads = None
+            self.batch_size = batch_size or self.config.batch_size[0]
+            self._params = self._load_params()
+            self._call = jax.jit(make_serving_fn(self.config))
+
+    def _load_params(self):
+        import jax
+
+        from paths_tpu.models.recursive import recursive_init
+        from paths_tpu.train.state import load_state
+
+        params = recursive_init(jax.random.PRNGKey(self.config.seed),
+                                self.config)
+        params, _, _ = load_state(self.model_dir, params, config=self.config)
+        return params
+
+    def _run(self, indices: Sequence[int]) -> np.ndarray:
+        """One device batch (padded by repeating the last slide; extra
+        rows trimmed). Returns pred rows for `indices` only."""
+        from paths_tpu.export import bag_to_dict, tables_to_dicts
+
+        n = len(indices)
+        padded = list(indices) + [indices[-1]] * (self.batch_size - n)
+        if self._pads is not None:       # exact export-time shapes
+            bag, tables, _ = collate_batch(self._dataset, padded,
+                                           level0_bucket=1, row_bucket=1,
+                                           grid_bucket=1, pads=self._pads)
+        else:
+            bag, tables, _ = collate_batch(
+                self._dataset, padded,
+                level0_bucket=self.config.level0_bucket)
+        if self._exp is not None:
+            args = (bag_to_dict(bag), tables_to_dicts(tables))
+            if not self._frozen:
+                args = (self._params,) + args
+            out = self._call(*args)
+        else:
+            out = self._call(self._params, bag_to_dict(bag),
+                             tables_to_dicts(tables))
+        return np.asarray(out["pred"])[:n]
+
+    def predict(self, slide_ids: Sequence[str]) -> List[dict]:
+        """Predictions for `slide_ids`, in order. Survival rows carry
+        `risk` (= -sum cumprod(1-h), reference `eval.py:59-64`) and
+        per-bin `hazards`; subtype rows carry the argmax `pred` and
+        per-class `probs`. Raises KeyError for unknown slides."""
+        missing = [s for s in slide_ids if s not in self._index]
+        if missing:
+            raise KeyError(f"unknown slide ids (not in store): {missing}")
+        indices = [self._index[s] for s in slide_ids]
+
+        preds = []
+        with self._lock:
+            for s in range(0, len(indices), self.batch_size):
+                preds.append(self._run(indices[s: s + self.batch_size]))
+        pred = np.concatenate(preds) if preds else np.zeros((0,))
+
+        rows = []
+        for sid, p in zip(slide_ids, pred):
+            if self.config.task == "survival":
+                survival = np.cumprod(1.0 - p)
+                rows.append({"slide_id": sid,
+                             "risk": float(-survival.sum()),
+                             "hazards": [float(h) for h in p]})
+            else:
+                probs = np.exp(p - p.max())
+                probs = probs / probs.sum()
+                classes = self.config.filter_to_subtypes
+                rows.append({"slide_id": sid,
+                             "pred": classes[int(np.argmax(probs))],
+                             "probs": {c: float(q)
+                                       for c, q in zip(classes, probs)}})
+        return rows
+
+    def info(self) -> dict:
+        import jax
+
+        return {
+            "task": self.config.task,
+            "model_dir": self.model_dir,
+            "num_slides": len(self.slide_ids),
+            "batch_size": self.batch_size,
+            "backend": ("frozen-artifact" if self._exp is not None
+                        and self._frozen else
+                        "artifact" if self._exp is not None else "live"),
+            "device": str(jax.devices()[0]),
+        }

@@ -1,0 +1,138 @@
+"""Serving layer: ServingSession batching/parity and the HTTP endpoint.
+
+The reference has no serving path (inference exists only inside
+`train.py:106-116`); these tests pin the deployment workflow
+preprocess -> train -> export -> serve end to end on synthetic slides.
+"""
+import json
+import os
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from paths_tpu.data.synthetic import make_synthetic_metadata, make_synthetic_store
+from paths_tpu.models.recursive import recursive_init
+from paths_tpu.serve import ServingSession, serving_dataset, store_slide_ids
+from paths_tpu.train.state import save_state
+from test_train_loop import tiny_train_config
+
+
+@pytest.fixture(scope="module")
+def model_setup(tmp_path_factory):
+    """A trained-init model dir + synthetic store shared by the module
+    (session construction jit-compiles; do it once)."""
+    tmp = str(tmp_path_factory.mktemp("serve"))
+    cfg = tiny_train_config(tmp)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=6,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    model_dir = os.path.join(tmp, "model")
+    os.makedirs(model_dir)
+    cfg.save(model_dir)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    save_state(model_dir, params, None, {"epoch": 1})
+    return tmp, cfg, model_dir, sorted(ids)
+
+
+@pytest.fixture(scope="module")
+def live_session(model_setup):
+    _, _, model_dir, _ = model_setup
+    return ServingSession(model_dir, batch_size=2)
+
+
+def test_store_slide_ids(model_setup):
+    _, cfg, _, ids = model_setup
+    from paths_tpu.data.feature_store import FeatureStore
+
+    assert store_slide_ids(FeatureStore(cfg.preprocess_dir),
+                           cfg.base_power) == ids
+
+
+def test_session_predict_batch_invariance(live_session, model_setup):
+    """Predictions are per-slide: a 3-slide request equals the same
+    slides predicted one at a time (the final short batch pads by
+    repeating a slide — padding must not leak into results)."""
+    _, cfg, _, ids = model_setup
+    want = [live_session.predict([sid])[0] for sid in ids[:3]]
+    got = live_session.predict(ids[:3])
+    assert [r["slide_id"] for r in got] == ids[:3]
+    for a, b in zip(got, want):
+        assert a["slide_id"] == b["slide_id"]
+        np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
+        np.testing.assert_allclose(a["risk"], b["risk"], rtol=1e-5)
+        # risk definition (reference eval.py:59-64)
+        surv = np.cumprod(1.0 - np.asarray(a["hazards"]))
+        assert a["risk"] == pytest.approx(float(-surv.sum()), rel=1e-6)
+
+    with pytest.raises(KeyError):
+        live_session.predict(["nope"])
+
+
+def test_session_artifact_matches_live(live_session, model_setup, tmp_path):
+    """A frozen StableHLO artifact serves the same predictions as the
+    live model, collating fresh requests purely from artifact_pads."""
+    tmp, cfg, model_dir, ids = model_setup
+    from paths_tpu.data.dataset import collate_batch
+    from paths_tpu.data.feature_store import FeatureStore
+    from paths_tpu.export import export_serving
+
+    ds = serving_dataset(cfg, FeatureStore(cfg.preprocess_dir), ids)
+    pads = ds.global_pads()
+    bag, tables, _ = collate_batch(ds, [0, 1], level0_bucket=1,
+                                   row_bucket=1, grid_bucket=1, pads=pads)
+    art = str(tmp_path / "m.shlo")
+    with open(art, "wb") as f:
+        f.write(export_serving(cfg, live_session._params, bag, tables,
+                               freeze_params=True))
+
+    sess = ServingSession(model_dir, artifact=art)
+    assert sess.batch_size == 2 and sess.info()["backend"] == "frozen-artifact"
+    got = sess.predict(ids[:4])          # 2 device batches
+    want = live_session.predict(ids[:4])
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
+
+
+def test_http_server(live_session, model_setup):
+    import http.client
+
+    from paths_tpu.cli.serve import make_server
+
+    _, _, _, ids = model_setup
+    server = make_server(live_session, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = server.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+
+        def call(method, path, body=None):
+            conn.request(method, path,
+                         body=None if body is None else json.dumps(body))
+            r = conn.getresponse()
+            return r.status, json.loads(r.read())
+
+        status, health = call("GET", "/healthz")
+        assert status == 200 and health["ok"] and health["task"] == "survival"
+
+        status, listing = call("GET", "/slides")
+        assert status == 200 and listing["slide_ids"] == ids
+
+        status, out = call("POST", "/predict", {"slide_ids": ids[:2]})
+        assert status == 200
+        rows = out["predictions"]
+        assert [r["slide_id"] for r in rows] == ids[:2]
+        want = live_session.predict(ids[:2])
+        np.testing.assert_allclose(rows[0]["hazards"], want[0]["hazards"],
+                                   rtol=1e-5)
+
+        assert call("POST", "/predict", {"slide_ids": ["nope"]})[0] == 404
+        assert call("POST", "/predict", {})[0] == 400
+        assert call("POST", "/predict", {"slide_ids": []})[0] == 400
+        assert call("GET", "/nope")[0] == 404
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
