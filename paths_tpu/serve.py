@@ -111,7 +111,13 @@ class ServingSession:
 
             self._exp = None
             self._frozen = False
-            self._pads = None
+            # under static_shapes (the trainer's default contract), scan
+            # store-wide pads once at startup so EVERY request collates
+            # to one compiled shape — a fresh shape costs a multi-minute
+            # jit on remote-compile tunnels, unacceptable mid-request
+            self._pads = (self._dataset.global_pads()
+                          if self.config.static_shapes and self.slide_ids
+                          else None)
             self.batch_size = batch_size or self.config.batch_size[0]
             self._params = self._load_params()
             self._call = jax.jit(make_serving_fn(self.config))
@@ -134,14 +140,14 @@ class ServingSession:
 
         n = len(indices)
         padded = list(indices) + [indices[-1]] * (self.batch_size - n)
-        if self._pads is not None:       # exact export-time shapes
+        if self._exp is not None:        # exact export-time shapes
             bag, tables, _ = collate_batch(self._dataset, padded,
                                            level0_bucket=1, row_bucket=1,
                                            grid_bucket=1, pads=self._pads)
-        else:
+        else:                            # trainer-style bucketed collation
             bag, tables, _ = collate_batch(
                 self._dataset, padded,
-                level0_bucket=self.config.level0_bucket)
+                level0_bucket=self.config.level0_bucket, pads=self._pads)
         if self._exp is not None:
             args = (bag_to_dict(bag), tables_to_dicts(tables))
             if not self._frozen:

@@ -69,6 +69,11 @@ def test_session_predict_batch_invariance(live_session, model_setup):
     with pytest.raises(KeyError):
         live_session.predict(["nope"])
 
+    # static_shapes contract: every request above collated to ONE
+    # compiled shape (a fresh shape mid-request costs a multi-minute jit
+    # on remote-compile tunnels)
+    assert cfg.static_shapes and live_session._call._cache_size() == 1
+
 
 def test_session_artifact_matches_live(live_session, model_setup, tmp_path):
     """A frozen StableHLO artifact serves the same predictions as the
