@@ -81,10 +81,10 @@ def main():
     store_dir = os.path.join(wd, "preprocessed")
     model_dir = os.path.join(wd, "model")
 
-    print("== 1/8 fabricate raw slides")
+    print("== 1/9 fabricate raw slides")
     ids = make_raw_slides(slide_dir, args.slides)
 
-    print("== 2/8 verify encoder weights (drop-in certification)")
+    print("== 2/9 verify encoder weights (drop-in certification)")
     weights = args.weights
     if weights is None:
         # stand-in for a real downloaded checkpoint: a timm-keyed random
@@ -102,7 +102,7 @@ def main():
 
     verify(["--model", args.encoder, "--weights", weights, "--images", "1"])
 
-    print("== 3/8 preprocess (tissue mask + patch encode)")
+    print("== 3/9 preprocess (tissue mask + patch encode)")
     from paths_tpu.cli.preprocess import main as preprocess
 
     # base objective power 10 so the demo pyramid spans 0.625x..10x
@@ -112,7 +112,7 @@ def main():
                 "--weights", weights])
 
     _, dim, _ = from_name(args.encoder)
-    print(f"== 4/8 train ({args.epochs} epochs, encoder dim {dim})")
+    print(f"== 4/9 train ({args.epochs} epochs, encoder dim {dim})")
     make_metadata(os.path.join(wd, "meta.csv"), ids)
 
     from paths_tpu.config import Config, PATHSProcessorConfig
@@ -133,18 +133,18 @@ def main():
 
     train(["-m", model_dir, "--no-wandb"])
 
-    print("== 5/8 evaluate")
+    print("== 5/9 evaluate")
     from paths_tpu.cli.evaluate import main as evaluate
 
     metrics = evaluate(["-m", model_dir, "--split", "test"])
 
-    print("== 6/8 predict")
+    print("== 6/9 predict")
     from paths_tpu.cli.predict import main as predict
 
     preds_csv = os.path.join(wd, "predictions.csv")
     predict(["-m", model_dir, "--split", "test", "-o", preds_csv])
 
-    print("== 7/8 heatmap")
+    print("== 7/9 heatmap")
     from paths_tpu.cli.heatmap import main as heatmap
 
     pdf = os.path.join(wd, "heatmap.pdf")
@@ -154,7 +154,7 @@ def main():
              "--tissue-threshold", "0.05", "--default-power", "10",
              "--weights", weights])
 
-    print("== 8/8 export serving artifact (frozen StableHLO)")
+    print("== 8/9 export serving artifact (frozen StableHLO)")
     from paths_tpu.cli.export import main as export
 
     artifact = os.path.join(wd, "model.shlo")
@@ -165,6 +165,29 @@ def main():
     exp = load_serving(open(artifact, "rb").read())
     print(f"artifact reloads: platforms={exp.platforms}, "
           f"{len(exp.in_avals)} inputs")
+
+    print("== 9/9 serve the artifact over HTTP")
+    import http.client
+    import threading
+
+    from paths_tpu.cli.serve import make_server
+    from paths_tpu.serve import ServingSession
+
+    session = ServingSession(model_dir, artifact=artifact)
+    server = make_server(session, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        host, port = server.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        conn.request("POST", "/predict",
+                     body=json.dumps({"slide_ids": session.slide_ids[:2]}))
+        served = json.loads(conn.getresponse().read())["predictions"]
+        conn.close()
+        for row in served:
+            print(f"  {row['slide_id']}: risk {row['risk']:.4f}")
+    finally:
+        server.shutdown()
+        server.server_close()
 
     print("\n=== demo complete ===")
     print("metrics:", json.dumps(metrics))
