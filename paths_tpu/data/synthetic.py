@@ -51,6 +51,60 @@ def make_synthetic_store(root: str, config: Config, num_slides: int,
     return ids
 
 
+def make_signal_store(root: str, config: Config, num_slides: int,
+                      base_hw=(6, 8), seed: int = 0,
+                      tissue_fraction: float = 0.5,
+                      signal_strength: float = 1.0):
+    """A synthetic store where each slide carries a LEARNABLE risk
+    signal: slide i's latent risk z_i shifts every tissue row of every
+    level along one fixed feature direction. Paired with
+    `make_signal_metadata`, which derives survival times from z, this
+    lets an end-to-end training run demonstrate real generalization
+    (val/test c-index well above chance) — the closest available proxy
+    for the network-blocked real-TCGA validation (BASELINE.md north
+    star). Returns (slide_ids, z) with z standardized across slides."""
+    store = FeatureStore(root, create=True)
+    rng = np.random.default_rng(seed)
+    d = config.model_config.patch_embed_dim
+    direction = rng.normal(size=d).astype(np.float32)
+    direction /= np.linalg.norm(direction)
+    z = rng.normal(size=num_slides).astype(np.float32)
+    z = (z - z.mean()) / max(z.std(), 1e-6)
+    ids = []
+    for i in range(num_slides):
+        sid = f"SYN-{i:04d}-01Z-00"
+        ids.append(sid)
+        h = base_hw[0] + int(rng.integers(0, 3))
+        w = base_hw[1] + int(rng.integers(0, 3))
+        for lvl, power in enumerate(config.power_levels()):
+            grid = synthetic_grid(rng, h * 2**lvl, w * 2**lvl, d,
+                                  tissue_fraction)
+            tissue = np.abs(grid).sum(-1) > 0
+            grid[tissue] += signal_strength * z[i] * direction
+            store.save(sid, power, grid)
+    return ids, z
+
+
+def make_signal_metadata(csv_path: str, slide_ids: Sequence[str],
+                         z: np.ndarray, seed: int = 0,
+                         censor_frac: float = 0.3) -> None:
+    """Metadata whose survival times decrease with the latent risk z
+    from `make_signal_store` (plus noise), with risk-independent random
+    censoring — so c-index against the features' signal is meaningful."""
+    rng = np.random.default_rng(seed + 1)
+    noise = 0.25 * rng.normal(size=len(slide_ids))
+    months = 1.0 + 119.0 / (1.0 + np.exp(np.asarray(z) + noise))
+    censored = rng.uniform(size=len(slide_ids)) < censor_frac
+    observed = np.where(censored,
+                        months * rng.uniform(0.3, 1.0, len(slide_ids)),
+                        months)
+    rows = ["case_id,slide_id,survival_months,censorship,oncotree_code"]
+    for i, sid in enumerate(slide_ids):
+        rows.append(f"CASE-{i:04d},{sid}.svs,{observed[i]:.2f},"
+                    f"{int(censored[i])},IDC")
+    _write_metadata(csv_path, "\n".join(rows) + "\n")
+
+
 def make_synthetic_metadata(csv_path: str, slide_ids: Sequence[str],
                             seed: int = 0,
                             subtypes: Optional[Sequence[str]] = None) -> None:
@@ -64,8 +118,10 @@ def make_synthetic_metadata(csv_path: str, slide_ids: Sequence[str],
         censor = int(rng.integers(0, 2))
         code = (subtypes[i % len(subtypes)] if subtypes else "IDC")
         rows.append(f"CASE-{i:04d},{sid}.svs,{months:.2f},{censor},{code}")
-    data = "\n".join(rows) + "\n"
+    _write_metadata(csv_path, "\n".join(rows) + "\n")
 
+
+def _write_metadata(csv_path: str, data: str) -> None:
     if csv_path.endswith(".zip"):
         inner = os.path.basename(csv_path)[:-4]
         with zipfile.ZipFile(csv_path, "w") as z:
