@@ -87,10 +87,14 @@ def make_signal_store(root: str, config: Config, num_slides: int,
 
 def make_signal_metadata(csv_path: str, slide_ids: Sequence[str],
                          z: np.ndarray, seed: int = 0,
-                         censor_frac: float = 0.3) -> None:
+                         censor_frac: float = 0.3,
+                         subtypes: Optional[Sequence[str]] = None) -> None:
     """Metadata whose survival times decrease with the latent risk z
     from `make_signal_store` (plus noise), with risk-independent random
-    censoring — so c-index against the features' signal is meaningful."""
+    censoring — so c-index against the features' signal is meaningful.
+    With `subtypes` (two class names), the oncotree code is also derived
+    from z — noisy-thresholded at its median — so a subtype run's AUC
+    measures the same feature signal."""
     rng = np.random.default_rng(seed + 1)
     noise = 0.25 * rng.normal(size=len(slide_ids))
     months = 1.0 + 119.0 / (1.0 + np.exp(np.asarray(z) + noise))
@@ -98,10 +102,16 @@ def make_signal_metadata(csv_path: str, slide_ids: Sequence[str],
     observed = np.where(censored,
                         months * rng.uniform(0.3, 1.0, len(slide_ids)),
                         months)
+    if subtypes is not None:
+        assert len(subtypes) == 2
+        codes = np.where(np.asarray(z) + 0.5 * rng.normal(size=len(z)) > 0,
+                         subtypes[1], subtypes[0])
+    else:
+        codes = ["IDC"] * len(slide_ids)
     rows = ["case_id,slide_id,survival_months,censorship,oncotree_code"]
     for i, sid in enumerate(slide_ids):
         rows.append(f"CASE-{i:04d},{sid}.svs,{observed[i]:.2f},"
-                    f"{int(censored[i])},IDC")
+                    f"{int(censored[i])},{codes[i]}")
     _write_metadata(csv_path, "\n".join(rows) + "\n")
 
 

@@ -100,6 +100,53 @@ def test_session_artifact_matches_live(live_session, model_setup, tmp_path):
         np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
 
 
+def test_http_server_concurrent_requests(live_session, model_setup):
+    """Concurrent /predict requests (threaded server + device lock) all
+    return correct, uncorrupted per-slide results."""
+    import http.client
+
+    from paths_tpu.cli.serve import make_server
+
+    _, _, _, ids = model_setup
+    want = {sid: live_session.predict([sid])[0]["risk"] for sid in ids}
+    server = make_server(live_session, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = server.server_address[:2]
+        results, errors = {}, []
+
+        def worker(wid):
+            try:
+                req = [ids[(wid + k) % len(ids)] for k in range(3)]
+                conn = http.client.HTTPConnection(host, port, timeout=60)
+                conn.request("POST", "/predict",
+                             body=json.dumps({"slide_ids": req}))
+                rows = json.loads(conn.getresponse().read())["predictions"]
+                conn.close()
+                results[wid] = rows
+            except Exception as e:        # noqa: BLE001
+                errors.append((wid, e))
+
+        threads = [threading.Thread(target=worker, args=(w,))
+                   for w in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errors, errors
+        assert len(results) == 4
+        for wid, rows in results.items():
+            for k, row in enumerate(rows):
+                sid = ids[(wid + k) % len(ids)]
+                assert row["slide_id"] == sid
+                np.testing.assert_allclose(row["risk"], want[sid],
+                                           rtol=1e-5)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_http_server(live_session, model_setup):
     import http.client
 
