@@ -101,7 +101,8 @@ class ServingSession:
             args, _ = jax.tree_util.tree_unflatten(self._exp.in_tree,
                                                    self._exp.in_avals)
             self._frozen = len(args) == 2          # (bag, tables)
-            if self.batch_size is None:            # poly-batch artifact
+            self._poly = self.batch_size is None   # symbolic batch axis
+            if self._poly:
                 self.batch_size = batch_size or self.config.batch_size[0]
             if not self._frozen:
                 self._params = self._load_params()
@@ -111,6 +112,7 @@ class ServingSession:
 
             self._exp = None
             self._frozen = False
+            self._poly = False
             # under static_shapes (the trainer's default contract), scan
             # store-wide pads once at startup so EVERY request collates
             # to one compiled shape — a fresh shape costs a multi-minute
@@ -139,7 +141,10 @@ class ServingSession:
         from paths_tpu.export import bag_to_dict, tables_to_dicts
 
         n = len(indices)
-        padded = list(indices) + [indices[-1]] * (self.batch_size - n)
+        # a poly-batch artifact's symbolic axis accepts any size with no
+        # recompile — skip the padding entirely
+        pad_to = n if self._poly else self.batch_size
+        padded = list(indices) + [indices[-1]] * (pad_to - n)
         if self._exp is not None:        # exact export-time shapes
             bag, tables, _ = collate_batch(self._dataset, padded,
                                            level0_bucket=1, row_bucket=1,

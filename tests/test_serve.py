@@ -100,6 +100,31 @@ def test_session_artifact_matches_live(live_session, model_setup, tmp_path):
         np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
 
 
+def test_session_poly_batch_artifact(live_session, model_setup, tmp_path):
+    """A poly-batch artifact serves odd-sized requests with NO padding
+    (the symbolic axis accepts any size) and matches the live model."""
+    tmp, cfg, model_dir, ids = model_setup
+    from paths_tpu.data.dataset import collate_batch
+    from paths_tpu.data.feature_store import FeatureStore
+    from paths_tpu.export import export_serving
+
+    ds = serving_dataset(cfg, FeatureStore(cfg.preprocess_dir), ids)
+    pads = ds.global_pads()
+    bag, tables, _ = collate_batch(ds, [0, 1], level0_bucket=1,
+                                   row_bucket=1, grid_bucket=1, pads=pads)
+    art = str(tmp_path / "poly.shlo")
+    with open(art, "wb") as f:
+        f.write(export_serving(cfg, live_session._params, bag, tables,
+                               poly_batch=True))
+
+    sess = ServingSession(model_dir, artifact=art, batch_size=4)
+    assert sess._poly and sess.batch_size == 4
+    got = sess.predict(ids[:3])          # 3 < 4: runs unpadded at b=3
+    want = live_session.predict(ids[:3])
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
+
+
 def test_http_server_concurrent_requests(live_session, model_setup):
     """Concurrent /predict requests (threaded server + device lock) all
     return correct, uncorrupted per-slide results."""
