@@ -65,27 +65,24 @@ def main(argv=None):
     _, evaluate = make_step_fns(config, make_optimizer(config))
     bs = args.batch_size or config.batch_size[0]
 
+    from paths_tpu.serve import prediction_rows
+
     rows = []
     pos = 0
     for bag0, tables, labels, w in _epoch_batches(
             ds, bs, shuffle=False, seed=0, mesh_size=1, config=config):
         _, aux = evaluate(params, bag0, tables, labels)
-        pred = np.asarray(aux["pred"])
         n_real = int(w.sum())
-        for j in range(n_real):
-            sid = ds.slide_ids[pos]
-            pos += 1
+        sids = ds.slide_ids[pos: pos + n_real]
+        pos += n_real
+        for r in prediction_rows(config, sids, np.asarray(aux["pred"])):
             if config.task == "survival":
-                hazards = pred[j]
-                survival = np.cumprod(1 - hazards)
-                risk = float(-survival.sum())
-                rows.append([sid, f"{risk:.6f}",
-                             *[f"{h:.6f}" for h in hazards]])
+                rows.append([r["slide_id"], f"{r['risk']:.6f}",
+                             *[f"{h:.6f}" for h in r["hazards"]]])
             else:
-                probs = np.exp(pred[j] - pred[j].max())
-                probs = probs / probs.sum()
-                cls = config.filter_to_subtypes[int(np.argmax(probs))]
-                rows.append([sid, cls, *[f"{p:.6f}" for p in probs]])
+                rows.append([r["slide_id"], r["pred"],
+                             *[f"{r['probs'][c]:.6f}"
+                               for c in config.filter_to_subtypes]])
 
     if config.task == "survival":
         header = ["slide_id", "risk"] + [f"hazard_{i}"

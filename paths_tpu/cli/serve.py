@@ -59,10 +59,14 @@ def make_server(session, host: str = "127.0.0.1", port: int = 0):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                ids = req["slide_ids"]
-                assert isinstance(ids, list) and ids, \
-                    "slide_ids must be a non-empty list"
-            except (KeyError, AssertionError, ValueError) as e:
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
+                ids = req.get("slide_ids")
+                if not (isinstance(ids, list) and ids
+                        and all(isinstance(s, str) for s in ids)):
+                    raise ValueError(
+                        "slide_ids must be a non-empty list of strings")
+            except ValueError as e:
                 self._send(400, {"error": f"bad request: {e}"})
                 return
             try:
@@ -70,7 +74,10 @@ def make_server(session, host: str = "127.0.0.1", port: int = 0):
             except KeyError as e:
                 self._send(404, {"error": str(e)})
                 return
-            except Exception as e:   # device/shape errors surface as 500
+            except ValueError as e:   # e.g. slides exceed artifact shapes
+                self._send(400, {"error": str(e)})
+                return
+            except Exception as e:   # device errors surface as 500
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._send(200, {"predictions": rows})

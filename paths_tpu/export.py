@@ -131,8 +131,11 @@ def load_serving(blob: bytes):
     return jax.export.deserialize(blob)
 
 
-def artifact_pads(exp) -> tuple:
-    """(batch_size, pads) recovered from an artifact's input shapes.
+def artifact_signature(exp) -> tuple:
+    """(frozen, batch_size, pads) recovered from an artifact's inputs —
+    the single place that knows the exported calling convention:
+    `(params, bag, tables)` for weights-as-arguments artifacts,
+    `(bag, tables)` when the weights were frozen in.
 
     `pads` is a `SlideDataset.global_pads()`-style dict; feed it to
     `collate_batch(..., level0_bucket=1, row_bucket=1, grid_bucket=1,
@@ -142,7 +145,6 @@ def artifact_pads(exp) -> tuple:
     """
     args, _kwargs = jax.tree_util.tree_unflatten(exp.in_tree,
                                                  exp.in_avals)
-    # (params, bag, tables) for weights-as-args; (bag, tables) if frozen
     bag, tables = args[-2], args[-1]
     assert set(bag) == set(BAG_FIELDS), sorted(bag)
 
@@ -150,4 +152,11 @@ def artifact_pads(exp) -> tuple:
     rows = [0] + [t["fts"].shape[1] for t in tables]
     grid_hw = [(0, 0)] + [tuple(t["index"].shape[1:3]) for t in tables]
     batch = int(b) if isinstance(b, int) else None  # symbolic -> None
-    return batch, {"n0": int(n0), "rows": rows, "grid_hw": grid_hw}
+    return (len(args) == 2, batch,
+            {"n0": int(n0), "rows": rows, "grid_hw": grid_hw})
+
+
+def artifact_pads(exp) -> tuple:
+    """(batch_size, pads) — see `artifact_signature`."""
+    _, batch, pads = artifact_signature(exp)
+    return batch, pads

@@ -32,8 +32,9 @@ def build_jpeg(verbose: bool = True) -> str | None:
     try:
         subprocess.run(cmd, check=True)
     except subprocess.CalledProcessError:
+        # stderr: bench.py's stdout must stay a single JSON line
         print("libpaths_jpeg.so skipped (libjpeg dev files not found); "
-              "tile decode falls back to PIL")
+              "tile decode falls back to PIL", file=sys.stderr)
         return None
     return out
 

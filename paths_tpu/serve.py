@@ -27,6 +27,30 @@ from paths_tpu.data.dataset import SlideDataset, collate_batch
 from paths_tpu.data.feature_store import FeatureStore
 
 
+def prediction_rows(config: Config, slide_ids: Sequence[str],
+                    pred: np.ndarray) -> List[dict]:
+    """Per-slide prediction dicts from raw model outputs — the ONE place
+    the post-processing lives (cli.predict formats the same rows to
+    CSV). Survival: `risk` (reference `eval.py:59-64`) + per-bin
+    `hazards`. Subtype: argmax `pred` + per-class `probs`."""
+    from paths_tpu.train.metrics import class_probs, survival_risk
+
+    rows = []
+    for sid, p in zip(slide_ids, np.asarray(pred)):
+        if config.task == "survival":
+            rows.append({"slide_id": sid,
+                         "risk": float(survival_risk(p)),
+                         "hazards": [float(h) for h in p]})
+        else:
+            probs = class_probs(p)
+            classes = config.filter_to_subtypes
+            rows.append({"slide_id": sid,
+                         "pred": classes[int(np.argmax(probs))],
+                         "probs": {c: float(q)
+                                   for c, q in zip(classes, probs)}})
+    return rows
+
+
 def store_slide_ids(store: FeatureStore, base_power: float) -> List[str]:
     """Slide ids with a base-power grid present in the store (the same
     presence rule the dataset loader uses to keep a row,
@@ -93,16 +117,17 @@ class ServingSession:
 
         self._params = None
         if artifact:
-            from paths_tpu.export import artifact_pads, load_serving
+            from paths_tpu.export import artifact_signature, load_serving
 
             with open(artifact, "rb") as f:
                 self._exp = load_serving(f.read())
-            self.batch_size, self._pads = artifact_pads(self._exp)
-            args, _ = jax.tree_util.tree_unflatten(self._exp.in_tree,
-                                                   self._exp.in_avals)
-            self._frozen = len(args) == 2          # (bag, tables)
-            self._poly = self.batch_size is None   # symbolic batch axis
-            if self._poly:
+            self._frozen, self.batch_size, self._pads = artifact_signature(
+                self._exp)
+            if self.batch_size is None:   # poly-batch: symbolic axis, the
+                # operator picks the serving width at load time (requests
+                # still pad to it — each DISTINCT concrete shape through
+                # exp.call costs a fresh XLA compile, minutes mid-request
+                # on remote-compile tunnels)
                 self.batch_size = batch_size or self.config.batch_size[0]
             if not self._frozen:
                 self._params = self._load_params()
@@ -112,7 +137,6 @@ class ServingSession:
 
             self._exp = None
             self._frozen = False
-            self._poly = False
             # under static_shapes (the trainer's default contract), scan
             # store-wide pads once at startup so EVERY request collates
             # to one compiled shape — a fresh shape costs a multi-minute
@@ -135,20 +159,40 @@ class ServingSession:
         params, _, _ = load_state(self.model_dir, params, config=self.config)
         return params
 
+    def _check_artifact_shapes(self, indices, bag, tables) -> None:
+        """Slides preprocessed AFTER export can exceed the artifact's
+        frozen input shapes; reject them with a clear message instead of
+        surfacing an opaque XLA aval-mismatch from exp.call."""
+        got_n0 = int(bag.mask.shape[1])
+        got_rows = [0] + [int(t.fts.shape[1]) for t in tables]
+        got_grid = [(0, 0)] + [tuple(map(int, t.index.shape[1:3]))
+                               for t in tables]
+        if (got_n0 <= self._pads["n0"]
+                and all(g <= p for g, p in zip(got_rows,
+                                               self._pads["rows"]))
+                and all(gh <= ph and gw <= pw
+                        for (gh, gw), (ph, pw) in zip(
+                            got_grid, self._pads["grid_hw"]))):
+            return
+        names = sorted({self.slide_ids[i] for i in indices})
+        raise ValueError(
+            f"slides exceed the artifact's export-time shapes "
+            f"(level-0 width {got_n0} > {self._pads['n0']} or table rows "
+            f"{got_rows} > {self._pads['rows']}); offending batch: "
+            f"{names}. Re-export the artifact with current global pads.")
+
     def _run(self, indices: Sequence[int]) -> np.ndarray:
         """One device batch (padded by repeating the last slide; extra
         rows trimmed). Returns pred rows for `indices` only."""
         from paths_tpu.export import bag_to_dict, tables_to_dicts
 
         n = len(indices)
-        # a poly-batch artifact's symbolic axis accepts any size with no
-        # recompile — skip the padding entirely
-        pad_to = n if self._poly else self.batch_size
-        padded = list(indices) + [indices[-1]] * (pad_to - n)
+        padded = list(indices) + [indices[-1]] * (self.batch_size - n)
         if self._exp is not None:        # exact export-time shapes
             bag, tables, _ = collate_batch(self._dataset, padded,
                                            level0_bucket=1, row_bucket=1,
                                            grid_bucket=1, pads=self._pads)
+            self._check_artifact_shapes(padded, bag, tables)
         else:                            # trainer-style bucketed collation
             bag, tables, _ = collate_batch(
                 self._dataset, padded,
@@ -179,22 +223,7 @@ class ServingSession:
                 preds.append(self._run(indices[s: s + self.batch_size]))
         pred = np.concatenate(preds) if preds else np.zeros((0,))
 
-        rows = []
-        for sid, p in zip(slide_ids, pred):
-            if self.config.task == "survival":
-                survival = np.cumprod(1.0 - p)
-                rows.append({"slide_id": sid,
-                             "risk": float(-survival.sum()),
-                             "hazards": [float(h) for h in p]})
-            else:
-                probs = np.exp(p - p.max())
-                probs = probs / probs.sum()
-                classes = self.config.filter_to_subtypes
-                rows.append({"slide_id": sid,
-                             "pred": classes[int(np.argmax(probs))],
-                             "probs": {c: float(q)
-                                       for c, q in zip(classes, probs)}})
-        return rows
+        return prediction_rows(self.config, slide_ids, pred)
 
     def info(self) -> dict:
         import jax

@@ -21,7 +21,9 @@ import numpy as np
 from paths_tpu.train.metrics import (
     NoComparablePairs,
     binary_auroc,
+    class_probs,
     concordance_index_censored,
+    survival_risk,
 )
 
 
@@ -97,9 +99,9 @@ class SurvivalEvaluator(Evaluator):
         """:param batch: dict with "censored" (1 = censored) and "survival"
         (event/censoring time in months)
         :param hazards: (B, nbins) post-sigmoid hazards"""
-        survival = np.cumprod(1.0 - np.asarray(hazards), axis=1)
         self._collect(loss, censored=batch["censored"],
-                      time=batch["survival"], risk=-survival.sum(axis=1))
+                      time=batch["survival"],
+                      risk=survival_risk(hazards))
 
     def _metrics(self):
         events = (1 - self._stacked("censored")).astype(bool)
@@ -122,9 +124,7 @@ class SubtypeClassificationEvaluator(Evaluator):
         self.nclasses = nclasses
 
     def register(self, batch: Dict, logits, loss):
-        logits = np.asarray(logits, np.float64)
-        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
-        self._collect(loss, prob=e / e.sum(axis=-1, keepdims=True),
+        self._collect(loss, prob=class_probs(logits),
                       subtype=batch["subtype"])
 
     def _metrics(self):

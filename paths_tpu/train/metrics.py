@@ -62,6 +62,22 @@ def concordance_index_censored(event_indicator: np.ndarray,
     return cindex, concordant, discordant, tied_risk, tied_time
 
 
+def survival_risk(hazards: np.ndarray) -> np.ndarray:
+    """Risk score from per-bin hazards: -sum of the survival curve
+    cumprod(1 - h) over bins (reference `eval.py:59-64`). Accepts (nbins,)
+    or (B, nbins); reduces the last axis."""
+    h = np.asarray(hazards, np.float64)
+    return -np.cumprod(1.0 - h, axis=-1).sum(axis=-1)
+
+
+def class_probs(logits: np.ndarray) -> np.ndarray:
+    """Stable softmax over the last axis (reference applies
+    torch.softmax before per-class AUROC, `eval.py:104-117`)."""
+    x = np.asarray(logits, np.float64)
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 def binary_auroc(scores: np.ndarray, labels: np.ndarray) -> float:
     """Tie-averaged binary AUROC. Returns 0.0 for degenerate inputs with a
     single class (torcheval returns nan-ish values there; the reference

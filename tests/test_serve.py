@@ -117,12 +117,49 @@ def test_session_poly_batch_artifact(live_session, model_setup, tmp_path):
         f.write(export_serving(cfg, live_session._params, bag, tables,
                                poly_batch=True))
 
+    # the operator picks the serving width at load time (no re-export);
+    # requests still pad to it so exp.call sees ONE concrete shape
     sess = ServingSession(model_dir, artifact=art, batch_size=4)
-    assert sess._poly and sess.batch_size == 4
-    got = sess.predict(ids[:3])          # 3 < 4: runs unpadded at b=3
+    assert sess.batch_size == 4
+    got = sess.predict(ids[:3])
     want = live_session.predict(ids[:3])
     for a, b in zip(got, want):
         np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
+
+
+def test_session_rejects_slides_exceeding_artifact(live_session,
+                                                   model_setup, tmp_path):
+    """Slides preprocessed after export that exceed the artifact's
+    frozen shapes are rejected with a clear message, not an opaque XLA
+    aval mismatch."""
+    tmp, cfg, model_dir, ids = model_setup
+    from paths_tpu.data.dataset import collate_batch
+    from paths_tpu.data.feature_store import FeatureStore
+    from paths_tpu.export import export_serving
+
+    store = FeatureStore(cfg.preprocess_dir)
+    full = serving_dataset(cfg, store, ids)
+    n0s = [s.level0[2] for s in full.slides]
+    small = ids[int(np.argmin(n0s))]
+    big = ids[int(np.argmax(n0s))]
+    assert min(n0s) < max(n0s), "fixture slides must differ in size"
+
+    ds = serving_dataset(cfg, store, [small, small])
+    pads = ds.global_pads()
+    bag, tables, _ = collate_batch(ds, [0, 1], level0_bucket=1,
+                                   row_bucket=1, grid_bucket=1, pads=pads)
+    art = str(tmp_path / "small.shlo")
+    with open(art, "wb") as f:
+        f.write(export_serving(cfg, live_session._params, bag, tables,
+                               freeze_params=True))
+
+    sess = ServingSession(model_dir, artifact=art)
+    with pytest.raises(ValueError, match="exceed the artifact"):
+        sess.predict([big])
+    got = sess.predict([small])          # fitting slides still serve
+    want = live_session.predict([small])
+    np.testing.assert_allclose(got[0]["hazards"], want[0]["hazards"],
+                               rtol=1e-5)
 
 
 def test_http_server_concurrent_requests(live_session, model_setup):
@@ -208,6 +245,9 @@ def test_http_server(live_session, model_setup):
         assert call("POST", "/predict", {"slide_ids": ["nope"]})[0] == 404
         assert call("POST", "/predict", {})[0] == 400
         assert call("POST", "/predict", {"slide_ids": []})[0] == 400
+        assert call("POST", "/predict", {"slide_ids": [1, 2]})[0] == 400
+        assert call("POST", "/predict", ["not-a-dict"])[0] == 400
+        assert call("POST", "/predict", "just-a-string")[0] == 400
         assert call("GET", "/nope")[0] == 404
         conn.close()
     finally:
