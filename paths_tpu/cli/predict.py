@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("-o", "--out", default=None,
                         help="Output CSV path (default: stdout)")
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--artifact", default=None,
+                        help="run the split through a cli.export StableHLO "
+                             "artifact instead of the live model")
     args = parser.parse_args(argv)
 
     from paths_tpu.config import Config
@@ -57,32 +60,43 @@ def main(argv=None):
               "test": splits[2]}[args.split]
     assert ds is not None and len(ds), f"split '{args.split}' is empty"
 
-    params = recursive_init(jax.random.PRNGKey(config.seed), config)
-    params, _, stats = load_state(args.model_dir, params, config=config)
-    print(f"Loaded checkpoint from epoch {stats.get('epoch')}",
-          file=sys.stderr)
-
-    _, evaluate = make_step_fns(config, make_optimizer(config))
-    bs = args.batch_size or config.batch_size[0]
-
     from paths_tpu.serve import prediction_rows
 
-    rows = []
-    pos = 0
-    for bag0, tables, labels, w in _epoch_batches(
-            ds, bs, shuffle=False, seed=0, mesh_size=1, config=config):
-        _, aux = evaluate(params, bag0, tables, labels)
-        n_real = int(w.sum())
-        sids = ds.slide_ids[pos: pos + n_real]
-        pos += n_real
-        for r in prediction_rows(config, sids, np.asarray(aux["pred"])):
-            if config.task == "survival":
-                rows.append([r["slide_id"], f"{r['risk']:.6f}",
-                             *[f"{h:.6f}" for h in r["hazards"]]])
-            else:
-                rows.append([r["slide_id"], r["pred"],
-                             *[f"{r['probs'][c]:.6f}"
-                               for c in config.filter_to_subtypes]])
+    def csv_row(r):
+        if config.task == "survival":
+            return [r["slide_id"], f"{r['risk']:.6f}",
+                    *[f"{h:.6f}" for h in r["hazards"]]]
+        return [r["slide_id"], r["pred"],
+                *[f"{r['probs'][c]:.6f}"
+                  for c in config.filter_to_subtypes]]
+
+    if args.artifact:
+        # frozen-program path: the artifact executes; no model code runs
+        from paths_tpu.serve import ServingSession
+
+        session = ServingSession(args.model_dir, artifact=args.artifact,
+                                 batch_size=args.batch_size)
+        rows = [csv_row(r) for r in session.predict(ds.slide_ids)]
+    else:
+        params = recursive_init(jax.random.PRNGKey(config.seed), config)
+        params, _, stats = load_state(args.model_dir, params, config=config)
+        print(f"Loaded checkpoint from epoch {stats.get('epoch')}",
+              file=sys.stderr)
+
+        _, evaluate = make_step_fns(config, make_optimizer(config))
+        bs = args.batch_size or config.batch_size[0]
+
+        rows = []
+        pos = 0
+        for bag0, tables, labels, w in _epoch_batches(
+                ds, bs, shuffle=False, seed=0, mesh_size=1, config=config):
+            _, aux = evaluate(params, bag0, tables, labels)
+            n_real = int(w.sum())
+            sids = ds.slide_ids[pos: pos + n_real]
+            pos += n_real
+            rows.extend(csv_row(r) for r in
+                        prediction_rows(config, sids,
+                                        np.asarray(aux["pred"])))
 
     if config.task == "survival":
         header = ["slide_id", "risk"] + [f"hazard_{i}"

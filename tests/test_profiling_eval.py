@@ -53,6 +53,26 @@ def test_predict_cli(tmp_path):
     s = np.cumprod([1 - float(h0), 1 - float(h1)])
     assert abs(float(risk) + s.sum()) < 1e-4
 
+    # --artifact path: the frozen StableHLO program produces the same
+    # predictions for the same slides (row order may differ: the
+    # artifact path predicts by slide id)
+    from paths_tpu.cli.export import main as export_main
+
+    art = os.path.join(tmp, "model.shlo")
+    export_main(["-m", mdir, "-o", art, "--freeze"])
+    art_csv = os.path.join(tmp, "preds_artifact.csv")
+    predict_main(["-m", mdir, "--split", "test", "-o", art_csv,
+                  "--artifact", art])
+    live = {l.split(",")[0]: l for l in lines[1:]}
+    art_lines = open(art_csv).read().splitlines()
+    assert art_lines[0] == lines[0]
+    got = {l.split(",")[0]: l for l in art_lines[1:]}
+    assert set(got) == set(live)
+    for sid in live:
+        lv = [float(x) for x in live[sid].split(",")[1:]]
+        av = [float(x) for x in got[sid].split(",")[1:]]
+        np.testing.assert_allclose(av, lv, atol=2e-5)
+
 
 def test_evaluate_cli(tmp_path):
     from paths_tpu.cli.train import main as train_main
