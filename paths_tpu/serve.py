@@ -132,6 +132,23 @@ class ServingSession:
             if not self._frozen:
                 self._params = self._load_params()
             self._call = self._exp.call
+        elif self.config.engine == "streaming":
+            # streaming-trained models hold tables too big for HBM; serve
+            # through the same host-streaming forward they trained with
+            # (tables stay memory-mapped on the host, level-0 bag only on
+            # device) instead of a fused program that would OOM on
+            # exactly those slides
+            from paths_tpu.engine.streaming import StreamingEngine
+
+            self._exp = None
+            self._frozen = False
+            self._pads = (self._dataset.global_pads(level0_only=True)
+                          if self.config.static_shapes and self.slide_ids
+                          else None)
+            self.batch_size = batch_size or self.config.batch_size[0]
+            self._params = self._load_params()
+            self._eng = StreamingEngine(self.config)
+            self._call = None
         else:
             from paths_tpu.export import make_serving_fn
 
@@ -186,23 +203,38 @@ class ServingSession:
         rows trimmed). Returns pred rows for `indices` only."""
         from paths_tpu.export import bag_to_dict, tables_to_dicts
 
+        import jax
+
         n = len(indices)
         padded = list(indices) + [indices[-1]] * (self.batch_size - n)
+
+        if self._exp is None and self._call is None:   # streaming engine
+            from paths_tpu.data.dataset import collate_bag0
+
+            bag0 = collate_bag0(self._dataset, padded,
+                                level0_bucket=self.config.level0_bucket,
+                                pads=self._pads)
+            host_tables = [self._dataset.slides[i].tables for i in padded]
+            outs, _ = self._eng.forward(self._params, bag0, host_tables,
+                                        deterministic=True)
+            logits = outs[-1]["logits"]
+            pred = (jax.nn.sigmoid(logits)
+                    if self.config.task == "survival" else logits)
+            return np.asarray(pred)[:n]
+
         if self._exp is not None:        # exact export-time shapes
             bag, tables, _ = collate_batch(self._dataset, padded,
                                            level0_bucket=1, row_bucket=1,
                                            grid_bucket=1, pads=self._pads)
             self._check_artifact_shapes(padded, bag, tables)
-        else:                            # trainer-style bucketed collation
-            bag, tables, _ = collate_batch(
-                self._dataset, padded,
-                level0_bucket=self.config.level0_bucket, pads=self._pads)
-        if self._exp is not None:
             args = (bag_to_dict(bag), tables_to_dicts(tables))
             if not self._frozen:
                 args = (self._params,) + args
             out = self._call(*args)
-        else:
+        else:                            # trainer-style bucketed collation
+            bag, tables, _ = collate_batch(
+                self._dataset, padded,
+                level0_bucket=self.config.level0_bucket, pads=self._pads)
             out = self._call(self._params, bag_to_dict(bag),
                              tables_to_dicts(tables))
         return np.asarray(out["pred"])[:n]
@@ -235,6 +267,7 @@ class ServingSession:
             "batch_size": self.batch_size,
             "backend": ("frozen-artifact" if self._exp is not None
                         and self._frozen else
-                        "artifact" if self._exp is not None else "live"),
+                        "artifact" if self._exp is not None else
+                        "live-streaming" if self._call is None else "live"),
             "device": str(jax.devices()[0]),
         }

@@ -162,6 +162,32 @@ def test_session_rejects_slides_exceeding_artifact(live_session,
                                rtol=1e-5)
 
 
+def test_session_streaming_engine(live_session, model_setup):
+    """A streaming-config model serves through the host-streaming
+    forward (tables never leave the host) and matches the fused live
+    session's predictions."""
+    import json
+
+    tmp, cfg, model_dir, ids = model_setup
+    sdir = os.path.join(tmp, "model_streaming")
+    os.makedirs(sdir, exist_ok=True)
+    scfg = tiny_train_config(tmp, engine="streaming")
+    scfg.save(sdir)
+    for fn in ("model.npz", "train_stats.json"):
+        src = os.path.join(model_dir, fn)
+        if os.path.exists(src):
+            import shutil
+
+            shutil.copy(src, os.path.join(sdir, fn))
+
+    sess = ServingSession(sdir, batch_size=2)
+    assert sess.info()["backend"] == "live-streaming"
+    got = sess.predict(ids[:3])
+    want = live_session.predict(ids[:3])
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
+
+
 def test_http_server_concurrent_requests(live_session, model_setup):
     """Concurrent /predict requests (threaded server + device lock) all
     return correct, uncorrupted per-slide results."""
