@@ -6,6 +6,7 @@
 Routes (JSON in/out):
     GET  /healthz   -> {"ok": true, ...session info}
     GET  /slides    -> {"slide_ids": [...]} slides present in the store
+    GET  /metrics   -> request/error counters + prediction latency
     POST /predict   <- {"slide_ids": [...]}
                     -> {"predictions": [{"slide_id", "risk", "hazards"} |
                                         {"slide_id", "pred", "probs"}]}
@@ -22,6 +23,8 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -29,6 +32,10 @@ def make_server(session, host: str = "127.0.0.1", port: int = 0):
     """A `ThreadingHTTPServer` bound to (host, port) serving `session`.
     Call `.serve_forever()` (or `.handle_request()` in tests);
     `.server_address` reports the bound port when 0 was requested."""
+
+    stats = {"requests": 0, "errors": 0, "slides_predicted": 0,
+             "predict_seconds_total": 0.0}
+    stats_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
@@ -44,16 +51,30 @@ def make_server(session, host: str = "127.0.0.1", port: int = 0):
                 sys.stderr.write("%s - %s\n" % (self.address_string(),
                                                 fmt % args))
 
+        def _count(self, error: bool = False, slides: int = 0,
+                   seconds: float = 0.0) -> None:
+            with stats_lock:
+                stats["requests"] += 1
+                stats["errors"] += error
+                stats["slides_predicted"] += slides
+                stats["predict_seconds_total"] += seconds
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"ok": True, **session.info()})
             elif self.path == "/slides":
                 self._send(200, {"slide_ids": session.slide_ids})
+            elif self.path == "/metrics":
+                with stats_lock:
+                    self._send(200, dict(stats))
             else:
                 self._send(404, {"error": f"no route {self.path}"})
+            if self.path != "/metrics":
+                self._count()
 
         def do_POST(self):
             if self.path != "/predict":
+                self._count(error=True)
                 self._send(404, {"error": f"no route {self.path}"})
                 return
             try:
@@ -67,19 +88,26 @@ def make_server(session, host: str = "127.0.0.1", port: int = 0):
                     raise ValueError(
                         "slide_ids must be a non-empty list of strings")
             except ValueError as e:
+                self._count(error=True)
                 self._send(400, {"error": f"bad request: {e}"})
                 return
+            t0 = time.perf_counter()
             try:
                 rows = session.predict(ids)
             except KeyError as e:
+                self._count(error=True)
                 self._send(404, {"error": str(e)})
                 return
             except ValueError as e:   # e.g. slides exceed artifact shapes
+                self._count(error=True)
                 self._send(400, {"error": str(e)})
                 return
             except Exception as e:   # device errors surface as 500
+                self._count(error=True)
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
+            self._count(slides=len(rows),
+                        seconds=time.perf_counter() - t0)
             self._send(200, {"predictions": rows})
 
     server = ThreadingHTTPServer((host, port), Handler)

@@ -275,6 +275,12 @@ def test_http_server(live_session, model_setup):
         assert call("POST", "/predict", ["not-a-dict"])[0] == 400
         assert call("POST", "/predict", "just-a-string")[0] == 400
         assert call("GET", "/nope")[0] == 404
+
+        status, m = call("GET", "/metrics")
+        assert status == 200
+        assert m["requests"] >= 8 and m["errors"] >= 5
+        assert m["slides_predicted"] == 2
+        assert m["predict_seconds_total"] > 0
         conn.close()
     finally:
         server.shutdown()
