@@ -15,7 +15,11 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-m", "--model-dir", required=True, type=str)
-    parser.add_argument("-s", "--slide-path", required=True, type=str)
+    parser.add_argument("-s", "--slide-path", default=None, type=str)
+    parser.add_argument("--slide-id", default=None, type=str,
+                        help="render from PREPROCESSED grids in the "
+                             "config's feature store (no raw WSI or "
+                             "encoder needed) instead of --slide-path")
     parser.add_argument("-a", "--annotation-path", default=None, type=str,
                         help="CAMELYON17 annotation XML (optional)")
     parser.add_argument("-o", "--out", default=None, type=str,
@@ -39,22 +43,33 @@ def main(argv=None):
 
     import jax
 
-    from paths_tpu.encoders.registry import from_name
     from paths_tpu.models.recursive import recursive_init
     from paths_tpu.train.state import load_state
-    from paths_tpu.viz.heatmap import heatmap_slide
+
+    if (args.slide_path is None) == (args.slide_id is None):
+        parser.error("exactly one of --slide-path / --slide-id required")
 
     params = recursive_init(jax.random.PRNGKey(config.seed), config)
     params, _, stats = load_state(args.model_dir, params, config=config)
     print("Loaded from epoch", stats.get("epoch"))
 
-    encode, dim, _ = from_name(args.encoder, weights_path=args.weights)
+    if args.slide_id is not None:
+        from paths_tpu.data.feature_store import FeatureStore
+        from paths_tpu.viz.heatmap import heatmap_from_store
 
-    out = heatmap_slide(config, params, encode, args.slide_path,
-                        args.annotation_path, args.out,
-                        tissue_threshold=args.tissue_threshold,
-                        camelyon=not args.no_camelyon,
-                        default_power=args.default_power)
+        out = heatmap_from_store(config, params, args.slide_id,
+                                 FeatureStore(config.preprocess_dir),
+                                 args.out)
+    else:
+        from paths_tpu.encoders.registry import from_name
+        from paths_tpu.viz.heatmap import heatmap_slide
+
+        encode, dim, _ = from_name(args.encoder, weights_path=args.weights)
+        out = heatmap_slide(config, params, encode, args.slide_path,
+                            args.annotation_path, args.out,
+                            tissue_threshold=args.tissue_threshold,
+                            camelyon=not args.no_camelyon,
+                            default_power=args.default_power)
     if out:
         print("Wrote", out)
 

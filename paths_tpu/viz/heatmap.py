@@ -223,3 +223,88 @@ def heatmap_slide(config: Config, params: dict, encode_fn: Callable,
         plt.show()
     plt.close(fig)
     return out_path
+
+
+def heatmap_from_store(config: Config, params: dict, slide_id: str,
+                       store, out_path: Optional[str],
+                       show: bool = False):
+    """Importance heatmap for a PREPROCESSED slide — no raw WSI or
+    encoder needed (the reference can only visualise raw slides with an
+    encoder in the loop, `heatmap_visualise.py:220-231`; a training-side
+    user typically has only the feature store). Runs the fused
+    hierarchical forward on the stored grids and renders one panel: a
+    synthetic glass/tissue backdrop from the level-0 grid occupancy,
+    visited-patch outlines, the folded-importance viridis overlay, and
+    the inset colorbar — the same painter and fold semantics as the
+    raw-slide renderer."""
+    import types
+
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.axes_grid1.inset_locator import inset_axes
+
+    from paths_tpu.data.dataset import collate_batch
+    from paths_tpu.engine.hierarchy import end2end_forward
+    from paths_tpu.serve import serving_dataset
+
+    P = config.model_config.patch_size
+    ds = serving_dataset(config, store, [slide_id])
+    bag0, tables, _ = collate_batch(ds, [0],
+                                    level0_bucket=config.level0_bucket)
+    outs = end2end_forward(params, config, bag0, tables)
+
+    # shim per-depth "slides" for the shared painter: valid rows only
+    # (padded/invalid slots carry garbage locs and zero importance)
+    slide_depths, imps = [], []
+    for out in outs:
+        bag = out["bag"]
+        valid = np.asarray(bag.mask[0])
+        slide_depths.append(types.SimpleNamespace(
+            locs=np.asarray(bag.locs[0])[valid]))
+        imps.append(np.asarray(out["importance"][0])[valid])
+
+    # glass/tissue backdrop from level-0 grid occupancy
+    grid0 = np.asarray(store.load(slide_id, config.base_power))
+    tissue = np.abs(grid0).sum(-1) > 0
+    backdrop = np.where(np.repeat(np.repeat(tissue, P, 0), P, 1),
+                        222, 246).astype(np.uint8)
+    H, W = backdrop.shape
+
+    if out_path is not None:
+        directory = os.path.dirname(out_path)
+        if directory and not os.path.isdir(directory):
+            os.makedirs(directory, exist_ok=True)
+
+    fig, ax = plt.subplots(figsize=(FIGSIZE[0] / 2, FIGSIZE[1]))
+    ax.imshow(backdrop, cmap="gray", vmin=0, vmax=255, aspect="equal")
+    ax.set_xticks([])
+    ax.set_yticks([])
+    ax.add_collection(_outline_collection(slide_depths, P))
+
+    heat = folded_importance(slide_depths, imps, P, (H, W))
+    alpha = np.where(heat > 0, OVERLAY_ALPHA, 0.0)
+    visited = heat > 0
+    if visited.any():
+        heat = np.where(visited, heat, heat[visited].min())
+    hm = ax.imshow(heat, cmap="viridis", alpha=alpha, aspect="equal")
+
+    ylim = _viewport_ylim(slide_depths[0], P, H)
+    ax.set_ylim(*ylim)
+
+    cax = inset_axes(ax, width="5%", height="100%", loc="right",
+                     borderpad=-1.5)
+    fig.colorbar(hm, cax=cax, orientation="vertical")
+    fig.tight_layout()
+    fig.subplots_adjust(right=0.88)
+
+    if out_path is not None:
+        if not (out_path.endswith(".pdf") or out_path.endswith(".png")):
+            out_path += ".pdf"
+        plt.savefig(out_path, dpi=200)
+    if show:
+        plt.show()
+    plt.close(fig)
+    return out_path

@@ -139,6 +139,37 @@ def test_heatmap_cli(tmp_path):
     assert os.path.isfile(out) and os.path.getsize(out) > 1000
 
 
+def test_heatmap_from_store_cli(tmp_path):
+    """--slide-id renders an importance heatmap straight from the
+    feature store (no raw WSI, no encoder)."""
+    import jax
+
+    from paths_tpu.cli.heatmap import main
+    from paths_tpu.data.synthetic import make_synthetic_store
+    from paths_tpu.train.state import save_state
+    from test_train_loop import tiny_train_config
+
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp)
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=2,
+                               base_hw=(3, 3))
+    mdir = os.path.join(tmp, "model")
+    os.makedirs(mdir)
+    cfg.save(mdir)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    save_state(mdir, params)
+
+    out = os.path.join(tmp, "hm_store.pdf")
+    main(["-m", mdir, "--slide-id", ids[0], "-o", out])
+    assert os.path.isfile(out) and os.path.getsize(out) > 1000
+
+    # exactly one of --slide-path / --slide-id
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["-m", mdir, "-o", out])
+
+
 def test_camelyon_xml_parsing(tmp_path):
     xml = """<?xml version="1.0"?>
 <ASAP_Annotations>
