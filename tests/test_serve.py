@@ -162,6 +162,34 @@ def test_session_rejects_slides_exceeding_artifact(live_session,
                                rtol=1e-5)
 
 
+def test_session_subtype_rows(model_setup):
+    """Classification sessions return argmax class + per-class softmax
+    probabilities (reference eval.py:104-117 semantics)."""
+    import jax
+
+    from paths_tpu.models.recursive import recursive_init
+    from paths_tpu.train.state import save_state
+
+    tmp, _, _, ids = model_setup
+    cfg = tiny_train_config(tmp, task="subtype_classification",
+                            filter_to_subtypes=["IDC", "ILC"], nbins=2)
+    sdir = os.path.join(tmp, "model_subtype")
+    os.makedirs(sdir, exist_ok=True)
+    cfg.save(sdir)
+    params = recursive_init(jax.random.PRNGKey(1), cfg)
+    save_state(sdir, params, None, {"epoch": 1})
+
+    sess = ServingSession(sdir, batch_size=2)
+    rows = sess.predict(ids[:2])
+    for r in rows:
+        assert set(r) == {"slide_id", "pred", "probs"}
+        assert r["pred"] in ("IDC", "ILC")
+        assert set(r["probs"]) == {"IDC", "ILC"}
+        total = sum(r["probs"].values())
+        assert total == pytest.approx(1.0, rel=1e-6)
+        assert r["pred"] == max(r["probs"], key=r["probs"].get)
+
+
 def test_session_streaming_engine(live_session, model_setup):
     """A streaming-config model serves through the host-streaming
     forward (tables never leave the host) and matches the fused live
