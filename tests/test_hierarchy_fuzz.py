@@ -2,8 +2,12 @@
 random shapes, K values, background fractions, and model variants.
 
 Selection comparisons skip the two DOCUMENTED deviations (PARITY.md):
-  * exactly tied importances at the top-K cutoff — torch.topk's pick is
-    arbitrary, ours is lowest-index
+  * exactly tied importances anywhere in the top-(K+1) window —
+    membership ties at the cutoff AND order ties within the kept set
+    are both implementation-defined in torch.topk (a 300-seed soak
+    caught seed 2278: three all-zero background cells tied WITHIN the
+    kept set, torch permuted them, and 1d positional encoding made the
+    order visible in the logits)
   * the all-background fallback rebuilding a bag WIDER than the static
     4K child slots — ours caps at 4K, the reference takes every
     non-background cell (zero-tissue-selection pathology only)
@@ -16,12 +20,16 @@ from test_model_parity import small_config
 
 
 def cutoff_tied(importance, mask, k):
-    """True when the k-th and (k+1)-th valid importances tie (selection
-    then legitimately diverges between frameworks)."""
+    """True when any two importances in the top-(K+1) window tie: a tie
+    at the cutoff makes MEMBERSHIP arbitrary, a tie within the kept set
+    makes kept ORDER arbitrary (torch.topk's tie order is
+    implementation-defined; ours is deterministic lowest-index) — and
+    order feeds 1d positional encodings and child enumeration."""
     vals = np.sort(importance[mask])[::-1]
-    if len(vals) <= k:
+    window = vals[: min(k + 1, len(vals))]
+    if len(window) < 2:
         return False
-    return bool(np.isclose(vals[k - 1], vals[k], rtol=0, atol=1e-7))
+    return bool((np.abs(np.diff(window)) <= 1e-7).any())
 
 
 def oversize_fallback(ref_batches, top_k, num_levels):
