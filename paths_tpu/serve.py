@@ -10,8 +10,11 @@ jitted model. `paths_tpu.cli.serve` wraps it in an HTTP endpoint.
 
 Shape discipline: artifact sessions collate with the EXACT pads the
 artifact was exported with (`export.artifact_pads`), so every request
-hits the one precompiled program; live sessions use the trainer's
-bucketed collation (bounded compile count under varying slide sizes).
+hits the precompiled program; live sessions use the trainer's bucketed
+collation plus power-of-two BATCH buckets — a short request moves only
+~its own feature bytes host->device (the dominant serving cost: the
+inputs ARE the features) while distinct compiled shapes stay bounded
+at log2(B)+1.
 """
 from __future__ import annotations
 
@@ -123,11 +126,12 @@ class ServingSession:
                 self._exp = load_serving(f.read())
             self._frozen, self.batch_size, self._pads = artifact_signature(
                 self._exp)
-            if self.batch_size is None:   # poly-batch: symbolic axis, the
-                # operator picks the serving width at load time (requests
-                # still pad to it — each DISTINCT concrete shape through
-                # exp.call costs a fresh XLA compile, minutes mid-request
-                # on remote-compile tunnels)
+            self._poly_artifact = self.batch_size is None
+            if self._poly_artifact:
+                # poly-batch: symbolic axis — the operator picks the max
+                # serving width at load time; requests pad to power-of-two
+                # buckets (each DISTINCT concrete shape through exp.call
+                # costs one XLA compile, so buckets bound that at log2(B))
                 self.batch_size = batch_size or self.config.batch_size[0]
             if not self._frozen:
                 self._params = self._load_params()
@@ -142,6 +146,7 @@ class ServingSession:
 
             self._exp = None
             self._frozen = False
+            self._poly_artifact = False
             self._pads = (self._dataset.global_pads(level0_only=True)
                           if self.config.static_shapes and self.slide_ids
                           else None)
@@ -154,6 +159,7 @@ class ServingSession:
 
             self._exp = None
             self._frozen = False
+            self._poly_artifact = False
             # under static_shapes (the trainer's default contract), scan
             # store-wide pads once at startup so EVERY request collates
             # to one compiled shape — a fresh shape costs a multi-minute
@@ -198,6 +204,20 @@ class ServingSession:
             f"{got_rows} > {self._pads['rows']}); offending batch: "
             f"{names}. Re-export the artifact with current global pads.")
 
+    def _pad_width(self, n: int) -> int:
+        """Batch width for an n-slide chunk. A FIXED artifact has one
+        program: always its batch. Live / poly-batch sessions pad to the
+        next power of two instead — a short request then moves only
+        ~its own feature bytes host->device (the dominant serving cost:
+        the inputs ARE the features, ~60 MB/slide at flagship scale)
+        while the distinct-shape count stays bounded at log2(B)+1."""
+        if self._exp is not None and not self._poly_artifact:
+            return self.batch_size
+        width = 1
+        while width < min(n, self.batch_size):
+            width *= 2
+        return min(width, self.batch_size)
+
     def _run(self, indices: Sequence[int]) -> np.ndarray:
         """One device batch (padded by repeating the last slide; extra
         rows trimmed). Returns pred rows for `indices` only."""
@@ -206,7 +226,8 @@ class ServingSession:
         import jax
 
         n = len(indices)
-        padded = list(indices) + [indices[-1]] * (self.batch_size - n)
+        padded = (list(indices)
+                  + [indices[-1]] * (self._pad_width(n) - n))
 
         if self._exp is None and self._call is None:   # streaming engine
             from paths_tpu.data.dataset import collate_bag0

@@ -69,10 +69,10 @@ def test_session_predict_batch_invariance(live_session, model_setup):
     with pytest.raises(KeyError):
         live_session.predict(["nope"])
 
-    # static_shapes contract: every request above collated to ONE
-    # compiled shape (a fresh shape mid-request costs a multi-minute jit
-    # on remote-compile tunnels)
-    assert cfg.static_shapes and live_session._call._cache_size() == 1
+    # static_shapes contract: slide dims collate to dataset-wide pads
+    # and batch widths bucket to powers of two, so the requests above
+    # (widths 1 and 2) compiled at most log2(B)+1 = 2 programs
+    assert cfg.static_shapes and live_session._call._cache_size() <= 2
 
 
 def test_session_artifact_matches_live(live_session, model_setup, tmp_path):
