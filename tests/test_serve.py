@@ -74,6 +74,13 @@ def test_session_predict_batch_invariance(live_session, model_setup):
     # (widths 1 and 2) compiled at most log2(B)+1 = 2 programs
     assert cfg.static_shapes and live_session._call._cache_size() <= 2
 
+    # repeat requests hit the device-resident batch cache (same rows)
+    assert len(live_session._batch_cache) > 0
+    again = live_session.predict(ids[:3])
+    for a, b in zip(again, got):
+        np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=0,
+                                   atol=0)
+
 
 def test_session_artifact_matches_live(live_session, model_setup, tmp_path):
     """A frozen StableHLO artifact serves the same predictions as the
