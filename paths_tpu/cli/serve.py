@@ -129,16 +129,25 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--no-cache-slides", action="store_true",
                         help="rebuild slide tables per request (lower RAM)")
+    parser.add_argument("--data-parallel", type=int, default=0,
+                        help="serve data-parallel over this many chips "
+                             "(live model only; 0 = single device)")
     args = parser.parse_args(argv)
 
     from paths_tpu.runtime import set_matmul_precision, setup_compilation_cache
     from paths_tpu.serve import ServingSession
 
     setup_compilation_cache()
+    mesh = None
+    if args.data_parallel:
+        from paths_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
     session = ServingSession(args.model_dir, store_root=args.store,
                              artifact=args.artifact,
                              batch_size=args.batch_size,
-                             cache_slides=not args.no_cache_slides)
+                             cache_slides=not args.no_cache_slides,
+                             mesh=mesh)
     set_matmul_precision(session.config.compute_dtype)
 
     server = make_server(session, args.host, args.port)

@@ -104,12 +104,18 @@ class ServingSession:
         skips collation and the feature H2D entirely — the dominant
         serving cost (~60 MB/slide at flagship scale) — and pays only
         the forward (~6 ms). 0 disables.
+    :param mesh: a `jax.sharding.Mesh` with a `data` axis to serve
+        data-parallel across chips (live fused sessions only): params
+        replicate, each request's batch shards along `data`, and every
+        chip's feature slice crosses its own host->device link. Batch
+        widths then bucket to multiples of the data axis.
     """
 
     def __init__(self, model_dir: str, store_root: Optional[str] = None,
                  artifact: Optional[str] = None,
                  batch_size: Optional[int] = None,
-                 cache_slides: bool = True, cache_batches: int = 4):
+                 cache_slides: bool = True, cache_batches: int = 4,
+                 mesh=None):
         import jax
 
         self.config = Config.load(model_dir, test_mode=True)
@@ -126,6 +132,16 @@ class ServingSession:
 
         self._batch_cache: "OrderedDict" = OrderedDict()
         self._cache_batches = cache_batches
+        self._mesh = None               # set below for live mesh sessions
+        if mesh is not None:
+            assert artifact is None and self.config.engine != "streaming", \
+                "mesh serving is implemented for live fused sessions"
+            from paths_tpu.parallel.mesh import data_axis_size as _das
+
+            eff_bs = batch_size or self.config.batch_size[0]
+            assert eff_bs % _das(mesh) == 0, (
+                f"batch_size {eff_bs} must be a multiple of the data "
+                f"axis ({_das(mesh)}) so every bucket shards evenly")
 
         self._params = None
         if artifact:
@@ -178,6 +194,11 @@ class ServingSession:
                           else None)
             self.batch_size = batch_size or self.config.batch_size[0]
             self._params = self._load_params()
+            if mesh is not None:
+                from paths_tpu.parallel.mesh import replicate
+
+                self._mesh = mesh
+                self._params = replicate(mesh, self._params)
             self._call = jax.jit(make_serving_fn(self.config))
 
     def _load_params(self):
@@ -222,7 +243,9 @@ class ServingSession:
         while the distinct-shape count stays bounded at log2(B)+1."""
         if self._exp is not None and not self._poly_artifact:
             return self.batch_size
-        width = 1
+        from paths_tpu.parallel.mesh import data_axis_size
+
+        width = data_axis_size(self._mesh)   # 1 without a mesh
         while width < min(n, self.batch_size):
             width *= 2
         return min(width, self.batch_size)
@@ -271,7 +294,15 @@ class ServingSession:
                     self._dataset, padded,
                     level0_bucket=self.config.level0_bucket,
                     pads=self._pads)
-                return bag_to_dict(bag), tables_to_dicts(tables)
+                bag_d = bag_to_dict(bag)
+                tab_d = tables_to_dicts(tables)
+                if self._mesh is not None:
+                    # each chip's feature slice crosses its own link;
+                    # GSPMD propagates the data sharding into the program
+                    from paths_tpu.parallel.mesh import shard_batch
+
+                    bag_d, tab_d = shard_batch(self._mesh, (bag_d, tab_d))
+                return bag_d, tab_d
 
             bag_d, tab_d = self._cached(padded, assemble)
             out = self._call(self._params, bag_d, tab_d)

@@ -197,6 +197,22 @@ def test_session_subtype_rows(model_setup):
         assert r["pred"] == max(r["probs"], key=r["probs"].get)
 
 
+def test_session_mesh_data_parallel(live_session, model_setup):
+    """An 8-device data-parallel serving session (params replicated,
+    requests sharded along `data`) returns the 1-device predictions."""
+    from paths_tpu.parallel.mesh import make_mesh
+
+    _, _, model_dir, ids = model_setup
+    sess = ServingSession(model_dir, batch_size=8, mesh=make_mesh(8))
+    got = sess.predict(ids[:5])          # width buckets to 8 (= dp)
+    want = live_session.predict(ids[:5])
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
+
+    with pytest.raises(AssertionError, match="multiple of the data"):
+        ServingSession(model_dir, batch_size=6, mesh=make_mesh(8))
+
+
 def test_session_streaming_engine(live_session, model_setup):
     """A streaming-config model serves through the host-streaming
     forward (tables never leave the host) and matches the fused live
