@@ -90,6 +90,30 @@ def test_train_generalizes_on_signal(tmp_path):
         f"(val history {stats.get('val_c-index')})")
 
 
+def test_train_generalizes_on_signal_streaming(tmp_path):
+    """The streaming engine (host-resident tables) learns the same
+    held-out signal end to end — generalization isn't an artifact of
+    the fused engine's data flow."""
+    import json
+
+    from paths_tpu.data.synthetic import make_signal_metadata, make_signal_store
+
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp, num_epochs=10, lr=3e-3, eval_epochs=5,
+                            engine="streaming")
+    ids, z = make_signal_store(cfg.preprocess_dir, cfg, num_slides=60,
+                               base_hw=(3, 3), seed=0)
+    make_signal_metadata(cfg.csv_path, ids, z, seed=0)
+    train, val, test = load_splits([0.6, 0.2, 0.2], seed=0, config=cfg)
+
+    mdir = os.path.join(tmp, "model")
+    train_loop(cfg, mdir, train, val, test, mesh=make_mesh(1),
+               verbose=False)
+    lines = open(os.path.join(mdir, "metrics.jsonl")).read().splitlines()
+    final = json.loads(lines[-1])
+    assert final["test_c-index"] > 0.75, f"no generalization: {final}"
+
+
 def test_train_generalizes_on_signal_subtype(tmp_path):
     """Same held-out learning proof for the classification task: subtype
     labels derive (noisily) from the latent feature signal, and the
