@@ -121,6 +121,12 @@ class Config:
     engine: str = "fused"
     # level-0 bags are padded up to a multiple of this (static-shape bucketing)
     level0_bucket: int = 256
+    # keep the val/test eval batches device-resident across eval epochs
+    # (they are identical every pass: no shuffle, global pads). Skips
+    # their re-collation + host->device transfer per eval — significant
+    # on transfer-bound links — at the cost of holding both eval splits'
+    # tables in HBM. Fused engine only.
+    cache_eval_batches: bool = False
     # pad every batch to dataset-global shape maxima -> exactly ONE
     # compiled shape per program per run (vs dozens of multi-minute
     # compiles from per-batch maxima under shuffle); False falls back to

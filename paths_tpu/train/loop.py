@@ -313,6 +313,30 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                 _register(self.ev, *self.pending)
                 self.pending = None
 
+    eval_batch_cache: dict = {}   # id(dataset) -> device-resident batches
+
+    def _eval_batches(dataset):
+        """Eval batches are identical every pass (no shuffle, global
+        pads); `cache_eval_batches` keeps them device-resident so later
+        eval epochs skip collation + the feature H2D entirely (the
+        `evaluate` jit does not donate its inputs)."""
+        key = id(dataset)
+        if config.cache_eval_batches and key in eval_batch_cache:
+            return eval_batch_cache[key]
+
+        def gen():
+            for bag0, tables, labels, w in _epoch_batches(
+                    dataset, batch_size, shuffle=False, seed=0,
+                    mesh_size=mesh_size, config=config, pads=pads):
+                bag0, tables, labels = shard_train_batch(mesh, bag0,
+                                                         tables, labels)
+                yield bag0, tables, labels, w
+
+        if not config.cache_eval_batches:
+            return gen()   # lazy: one batch's buffers live at a time
+        eval_batch_cache[key] = list(gen())
+        return eval_batch_cache[key]
+
     def run_eval(dataset, evaluator):
         reg = _DeferredRegister(evaluator)
         if streaming:
@@ -326,11 +350,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                         s_.unload()
             reg.flush()
             return
-        for bag0, tables, labels, w in _epoch_batches(
-                dataset, batch_size, shuffle=False, seed=0,
-                mesh_size=mesh_size, config=config, pads=pads):
-            bag0, tables, labels = shard_train_batch(mesh, bag0, tables,
-                                                     labels)
+        for bag0, tables, labels, w in _eval_batches(dataset):
             loss, aux = evaluate(params, bag0, tables, labels)
             reg.push(labels, aux["pred"], loss, w)
         reg.flush()

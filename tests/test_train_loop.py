@@ -90,6 +90,29 @@ def test_train_generalizes_on_signal(tmp_path):
         f"(val history {stats.get('val_c-index')})")
 
 
+def test_cache_eval_batches_matches(ds):
+    """cache_eval_batches=True (device-resident eval batches reused
+    across eval epochs) reproduces the uncached run's metrics exactly."""
+    import json
+
+    tmp, cfg, train, val, test = ds
+    cfg.num_epochs = 4
+    cfg.eval_epochs = 2
+    stats = {}
+    for flag in (False, True):
+        cfg.cache_eval_batches = flag
+        mdir = os.path.join(tmp, f"model_evcache_{flag}")
+        train_loop(cfg, mdir, train, val, test, mesh=make_mesh(1),
+                   verbose=False)
+        lines = open(os.path.join(mdir, "metrics.jsonl")).read().splitlines()
+        stats[flag] = [json.loads(l) for l in lines]
+    assert len(stats[False]) == len(stats[True])
+    for a, b in zip(stats[False], stats[True]):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], (k, a, b)
+
+
 def test_train_generalizes_on_signal_streaming(tmp_path):
     """The streaming engine (host-resident tables) learns the same
     held-out signal end to end — generalization isn't an artifact of
