@@ -74,8 +74,10 @@ def main(argv=None):
         # frozen-program path: the artifact executes; no model code runs
         from paths_tpu.serve import ServingSession
 
+        # a split sweep never repeats a batch: no device batch cache
         session = ServingSession(args.model_dir, artifact=args.artifact,
-                                 batch_size=args.batch_size)
+                                 batch_size=args.batch_size,
+                                 cache_batches=0)
         rows = [csv_row(r) for r in session.predict(ds.slide_ids)]
     else:
         params = recursive_init(jax.random.PRNGKey(config.seed), config)

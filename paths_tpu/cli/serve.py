@@ -132,6 +132,11 @@ def main(argv=None):
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="serve data-parallel over this many chips "
                              "(live model only; 0 = single device)")
+    parser.add_argument("--cache-batches", type=int, default=4,
+                        help="device-resident LRU of collated batches "
+                             "(repeat requests skip the feature H2D); "
+                             "0 disables — right for non-repeating "
+                             "workloads where the HBM is better spent")
     args = parser.parse_args(argv)
 
     from paths_tpu.runtime import set_matmul_precision, setup_compilation_cache
@@ -147,6 +152,7 @@ def main(argv=None):
                              artifact=args.artifact,
                              batch_size=args.batch_size,
                              cache_slides=not args.no_cache_slides,
+                             cache_batches=args.cache_batches,
                              mesh=mesh)
     set_matmul_precision(session.config.compute_dtype)
 

@@ -254,7 +254,7 @@ def union_pads(*pads: Optional[dict]) -> Optional[dict]:
 def collate_batch(dataset: SlideDataset, indices: Sequence[int],
                   level0_bucket: int = 256, row_bucket: int = 256,
                   grid_bucket: int = 16, dtype=None,
-                  pads: Optional[dict] = None):
+                  pads: Optional[dict] = None, put=None):
     """Collate slides into (PatchBag, [LevelTable], labels).
 
     Static-shape bucketing: the level-0 width is the batch max rounded up
@@ -273,7 +273,7 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
     slides = [dataset.slides[i] for i in indices]
 
     bag0 = collate_bag0(dataset, indices, level0_bucket=level0_bucket,
-                        dtype=dtype, pads=pads)
+                        dtype=dtype, pads=pads, put=put)
     b, n0 = bag0.mask.shape
 
     widths = bag_widths(cfg.top_k_patches, cfg.num_levels, n0)
@@ -292,7 +292,7 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
         w = _round_up(max_w, grid_bucket)
         tables.append(stack_tables(per, min_rows=widths[lvl],
                                    pad_rows_to=rows, pad_grid_to=(h, w),
-                                   dtype=dtype))
+                                   dtype=dtype, put=put))
 
     labels = {k: jnp.asarray(v) for k, v in dataset.labels(indices).items()}
     if not dataset.cache_slides:
@@ -303,9 +303,13 @@ def collate_batch(dataset: SlideDataset, indices: Sequence[int],
 
 def collate_bag0(dataset: SlideDataset, indices: Sequence[int],
                  level0_bucket: int = 256, dtype=None,
-                 pads: Optional[dict] = None) -> PatchBag:
+                 pads: Optional[dict] = None, put=None) -> PatchBag:
     """Collate only the level-0 bag (used by the streaming engine, which
-    keeps the deeper levels' tables on the host)."""
+    keeps the deeper levels' tables on the host).
+
+    `put` places the big host arrays on device (default `jnp.asarray`);
+    multi-chip callers pass a sharded `jax.device_put` so each chip's
+    slice crosses its own host->device link."""
     cfg = dataset.config
     mc = cfg.model_config
     if dtype is None:
@@ -327,9 +331,10 @@ def collate_bag0(dataset: SlideDataset, indices: Sequence[int],
         locs0[i, :n] = l
         mask0[i, :n] = True
 
+    put = (lambda a: jnp.asarray(a)) if put is None else put
     return PatchBag(
-        fts=jnp.asarray(fts0, dtype), locs=jnp.asarray(locs0),
-        mask=jnp.asarray(mask0),
+        fts=put(fts0.astype(dtype, copy=False)), locs=put(locs0),
+        mask=put(mask0),
         parent_inds=jnp.broadcast_to(
             jnp.arange(n0, dtype=jnp.int32)[None], (b, n0)),
         ctx_slide=jnp.zeros((b, 0, ds_dim), dtype),

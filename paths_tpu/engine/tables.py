@@ -86,12 +86,16 @@ def build_level_table(grid: np.ndarray, min_rows: int = 0):
 def stack_tables(tables: Sequence[dict], min_rows: int = 0,
                  pad_rows_to: int | None = None,
                  pad_grid_to: tuple | None = None,
-                 dtype=None) -> LevelTable:
+                 dtype=None, put=None) -> LevelTable:
     """Pad single-slide tables to common shapes and stack into a LevelTable.
 
     :param dtype: optional feature dtype (e.g. jnp.bfloat16 halves HBM and
     host->device traffic for the dominant arrays; background/validity is
-    decided host-side in f32 so masking semantics are unaffected)."""
+    decided host-side in f32 so masking semantics are unaffected)
+    :param put: host->device placement for the stacked arrays (default
+    `jnp.asarray`). Multi-chip callers pass a sharded `jax.device_put`
+    so each chip's slice crosses its own link instead of landing whole
+    on one device and being resharded over ICI."""
     b = len(tables)
     m = max(max(t["fts"].shape[0] for t in tables), min_rows)
     if pad_rows_to is not None:
@@ -116,12 +120,13 @@ def stack_tables(tables: Sequence[dict], min_rows: int = 0,
         index[i, :hi, :wi] = t["index"]
         grid_hw[i] = t["grid_hw"]
 
-    fts_j = jnp.asarray(fts)
+    put = jnp.asarray if put is None else put
+    fts_j = put(fts)
     if dtype is not None:
         fts_j = fts_j.astype(dtype)
-    return LevelTable(fts=fts_j, locs=jnp.asarray(locs),
-                      count=jnp.asarray(count), index=jnp.asarray(index),
-                      grid_hw=jnp.asarray(grid_hw))
+    return LevelTable(fts=fts_j, locs=put(locs),
+                      count=put(count), index=put(index),
+                      grid_hw=put(grid_hw))
 
 
 def bag_widths(top_k_patches, num_levels: int, n0: int):

@@ -133,15 +133,19 @@ class ServingSession:
         self._batch_cache: "OrderedDict" = OrderedDict()
         self._cache_batches = cache_batches
         self._mesh = None               # set below for live mesh sessions
+        self._put = None                # sharded device placement (mesh)
         if mesh is not None:
-            assert artifact is None and self.config.engine != "streaming", \
-                "mesh serving is implemented for live fused sessions"
+            # real raises, not asserts: -O must not silently drop a mesh
+            if artifact is not None or self.config.engine == "streaming":
+                raise ValueError(
+                    "mesh serving is implemented for live fused sessions")
             from paths_tpu.parallel.mesh import data_axis_size as _das
 
             eff_bs = batch_size or self.config.batch_size[0]
-            assert eff_bs % _das(mesh) == 0, (
-                f"batch_size {eff_bs} must be a multiple of the data "
-                f"axis ({_das(mesh)}) so every bucket shards evenly")
+            if eff_bs % _das(mesh) != 0:
+                raise ValueError(
+                    f"batch_size {eff_bs} must be a multiple of the data "
+                    f"axis ({_das(mesh)}) so every bucket shards evenly")
 
         self._params = None
         if artifact:
@@ -195,10 +199,17 @@ class ServingSession:
             self.batch_size = batch_size or self.config.batch_size[0]
             self._params = self._load_params()
             if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
                 from paths_tpu.parallel.mesh import replicate
 
                 self._mesh = mesh
                 self._params = replicate(mesh, self._params)
+                sharding = NamedSharding(mesh, PartitionSpec("data"))
+                # host->SHARDED-device placement used at collation: each
+                # chip's feature slice crosses its own link (vs landing
+                # whole on one device and resharding over ICI)
+                self._put = lambda a: jax.device_put(np.asarray(a),
+                                                     sharding)
             self._call = jax.jit(make_serving_fn(self.config))
 
     def _load_params(self):
@@ -290,19 +301,14 @@ class ServingSession:
             out = self._call(*args)
         else:                            # trainer-style bucketed collation
             def assemble():
+                # with a mesh, `put` places each array sharded straight
+                # from the host — every chip's slice crosses its own
+                # link; GSPMD propagates the sharding into the program
                 bag, tables, _ = collate_batch(
                     self._dataset, padded,
                     level0_bucket=self.config.level0_bucket,
-                    pads=self._pads)
-                bag_d = bag_to_dict(bag)
-                tab_d = tables_to_dicts(tables)
-                if self._mesh is not None:
-                    # each chip's feature slice crosses its own link;
-                    # GSPMD propagates the data sharding into the program
-                    from paths_tpu.parallel.mesh import shard_batch
-
-                    bag_d, tab_d = shard_batch(self._mesh, (bag_d, tab_d))
-                return bag_d, tab_d
+                    pads=self._pads, put=self._put)
+                return bag_to_dict(bag), tables_to_dicts(tables)
 
             bag_d, tab_d = self._cached(padded, assemble)
             out = self._call(self._params, bag_d, tab_d)

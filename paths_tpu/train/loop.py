@@ -162,14 +162,26 @@ def _prefetch(iterator, depth: int = 2):
 
 def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
                    seed: int, mesh_size: int, config: Config,
-                   prefetch: int = 2, pads=None):
+                   prefetch: int = 2, pads=None, mesh=None):
     """Yield (bag0, tables, labels, weights) with mesh-size padding,
     prefetched on a background thread. Under static shapes (`pads`), the
     final partial batch also pads up to the full batch width so every
     batch compiles to ONE program — otherwise the last batch of each
-    split is a second multi-minute remote compile of the big step."""
+    split is a second multi-minute remote compile of the big step.
+
+    With a multi-device `mesh`, collation places the big arrays
+    `data`-sharded straight from the host (each chip's slice crosses its
+    own link, issued from the prefetch thread) instead of landing whole
+    on one device and resharding over ICI; the caller's
+    `shard_train_batch` is then a no-op re-put for the data axis."""
     target = (-(-batch_size // mesh_size) * mesh_size if pads is not None
               else mesh_size)
+    put = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        put = lambda a: jax.device_put(np.asarray(a), sharding)  # noqa: E731
 
     def gen():
         order = np.arange(len(dataset))
@@ -179,7 +191,8 @@ def _epoch_batches(dataset: SlideDataset, batch_size: int, *, shuffle: bool,
             idx = order[s: s + batch_size].tolist()
             idx, w = pad_batch_indices(idx, target)
             bag0, tables, labels = collate_batch(
-                dataset, idx, level0_bucket=config.level0_bucket, pads=pads)
+                dataset, idx, level0_bucket=config.level0_bucket, pads=pads,
+                put=put)
             labels = dict(labels)
             labels["weight"] = jax.numpy.asarray(w)
             yield bag0, tables, labels, w
@@ -315,29 +328,33 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
 
     eval_batch_cache: dict = {}   # id(dataset) -> device-resident batches
 
-    def _eval_batches(dataset):
+    def _eval_batches(dataset, cacheable):
         """Eval batches are identical every pass (no shuffle, global
-        pads); `cache_eval_batches` keeps them device-resident so later
-        eval epochs skip collation + the feature H2D entirely (the
-        `evaluate` jit does not donate its inputs)."""
+        pads); `cache_eval_batches` keeps the VAL split's device-resident
+        so later eval epochs skip collation + the feature H2D entirely
+        (the `evaluate` jit does not donate its inputs). The test split
+        runs once, so caching it would materialize every test batch in
+        HBM simultaneously for zero reuse — it stays lazy."""
         key = id(dataset)
-        if config.cache_eval_batches and key in eval_batch_cache:
+        cacheable = cacheable and config.cache_eval_batches
+        if cacheable and key in eval_batch_cache:
             return eval_batch_cache[key]
 
         def gen():
             for bag0, tables, labels, w in _epoch_batches(
                     dataset, batch_size, shuffle=False, seed=0,
-                    mesh_size=mesh_size, config=config, pads=pads):
+                    mesh_size=mesh_size, config=config, pads=pads,
+                    mesh=mesh):
                 bag0, tables, labels = shard_train_batch(mesh, bag0,
                                                          tables, labels)
                 yield bag0, tables, labels, w
 
-        if not config.cache_eval_batches:
+        if not cacheable:
             return gen()   # lazy: one batch's buffers live at a time
         eval_batch_cache[key] = list(gen())
         return eval_batch_cache[key]
 
-    def run_eval(dataset, evaluator):
+    def run_eval(dataset, evaluator, cacheable=False):
         reg = _DeferredRegister(evaluator)
         if streaming:
             for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
@@ -350,7 +367,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                         s_.unload()
             reg.flush()
             return
-        for bag0, tables, labels, w in _eval_batches(dataset):
+        for bag0, tables, labels, w in _eval_batches(dataset, cacheable):
             loss, aux = evaluate(params, bag0, tables, labels)
             reg.push(labels, aux["pred"], loss, w)
         reg.flush()
@@ -389,7 +406,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
             for bag0, tables, labels, w in _epoch_batches(
                     train_ds, batch_size, shuffle=True,
                     seed=config.seed * 100_003 + e, mesh_size=mesh_size,
-                    config=config, pads=pads):
+                    config=config, pads=pads, mesh=mesh):
                 rng, step_rng = jax.random.split(rng)
                 bag0, tables, labels = shard_train_batch(mesh, bag0, tables,
                                                          labels)
@@ -417,7 +434,7 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
                        backend=config.checkpoint_backend)
 
         if e % config.eval_epochs == 0 and val_ds is not None and len(val_ds):
-            run_eval(val_ds, val_eval)
+            run_eval(val_ds, val_eval, cacheable=True)
             log_dict = val_eval.calculate(train_stats, e) | {"epoch": e}
             log.log(log_dict)
             val_eval.reset()

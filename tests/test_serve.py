@@ -124,8 +124,9 @@ def test_session_poly_batch_artifact(live_session, model_setup, tmp_path):
         f.write(export_serving(cfg, live_session._params, bag, tables,
                                poly_batch=True))
 
-    # the operator picks the serving width at load time (no re-export);
-    # requests still pad to it so exp.call sees ONE concrete shape
+    # the operator picks the MAX serving width at load time (no
+    # re-export); requests pad to power-of-two buckets under it, so
+    # exp.call sees at most log2(B)+1 concrete shapes
     sess = ServingSession(model_dir, artifact=art, batch_size=4)
     assert sess.batch_size == 4
     got = sess.predict(ids[:3])
@@ -209,7 +210,7 @@ def test_session_mesh_data_parallel(live_session, model_setup):
     for a, b in zip(got, want):
         np.testing.assert_allclose(a["hazards"], b["hazards"], rtol=1e-5)
 
-    with pytest.raises(AssertionError, match="multiple of the data"):
+    with pytest.raises(ValueError, match="multiple of the data"):
         ServingSession(model_dir, batch_size=6, mesh=make_mesh(8))
 
 
