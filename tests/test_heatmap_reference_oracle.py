@@ -25,17 +25,15 @@ viewport, inset colorbar, 1x2 panel figure).
 """
 import io
 import os
-import sys
 import types
 
 import numpy as np
 import pytest
 
-REF = "/root/reference"
+from helpers_reference import reference_available, reference_modules
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isfile(os.path.join(REF, "heatmap_visualise.py")),
-    reason="reference checkout not available")
+    not reference_available(), reason="reference checkout not available")
 
 # ---------------------------------------------------------------- trace
 
@@ -91,72 +89,15 @@ def write_annotation_xml(path):
 
 # ------------------------------------------------- reference import rig
 
-def _stub(name, **attrs):
-    m = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    return m
-
-
 @pytest.fixture(scope="module")
 def ref_heatmap():
-    """Import the reference heatmap_visualise with unavailable deps
-    stubbed; yields the module; restores sys.modules/sys.path after."""
+    """The reference heatmap_visualise module (stub rig shared with the
+    engine oracle — helpers_reference)."""
     import matplotlib
 
     matplotlib.use("Agg")
-
-    stubs = {}
-    cls = type("_Missing", (), {})
-    stubs["wandb"] = _stub("wandb")
-    stubs["tiatoolbox"] = _stub("tiatoolbox")
-    stubs["tiatoolbox.wsicore"] = _stub("tiatoolbox.wsicore")
-    stubs["tiatoolbox.wsicore.wsireader"] = _stub(
-        "tiatoolbox.wsicore.wsireader", WSIReader=cls)
-    stubs["tiatoolbox.tools"] = _stub("tiatoolbox.tools")
-    stubs["tiatoolbox.tools.tissuemask"] = _stub(
-        "tiatoolbox.tools.tissuemask", OtsuTissueMasker=cls)
-    stubs["timm"] = _stub("timm", create_model=None)
-    stubs["timm.layers"] = _stub("timm.layers", SwiGLUPacked=cls)
-    stubs["timm.data"] = _stub("timm.data", resolve_data_config=None)
-    stubs["timm.data.transforms_factory"] = _stub(
-        "timm.data.transforms_factory", create_transform=None)
-    import torch.nn as _nn
-    stubs["torchvision"] = _stub("torchvision")
-    stubs["torchvision.models"] = _stub("torchvision.models")
-    stubs["torchvision.models.resnet"] = _stub(
-        "torchvision.models.resnet", resnet18=None, resnet50=None,
-        ResNet18_Weights=cls, ResNet50_Weights=cls)
-    stubs["torchvision.transforms"] = _stub(
-        "torchvision.transforms", v2=_stub("torchvision.transforms.v2",
-                                           Compose=cls))
-    stubs["torchvision.transforms.v2"] = stubs["torchvision.transforms"].v2
-    stubs["torchvision.transforms.functional"] = _stub(
-        "torchvision.transforms.functional")
-    stubs["torchvision.models"].resnet = stubs["torchvision.models.resnet"]
-    _nn  # keep import (documents that torch itself is real, not stubbed)
-
-    ref_mod_names = ["utils", "config", "data_utils", "data_utils.slide",
-                     "data_utils.patch_batch", "data_utils.dataset",
-                     "model", "model.interface", "model.paths",
-                     "model.aggregator", "model.image_encoder",
-                     "preprocess", "preprocess.loader", "heatmap_visualise",
-                     "eval"]
-    saved = {n: sys.modules.get(n) for n in list(stubs) + ref_mod_names}
-    sys.modules.update(stubs)
-    sys.path.insert(0, REF)
-    try:
-        import importlib
-
-        hv = importlib.import_module("heatmap_visualise")
+    with reference_modules("heatmap_visualise") as (hv,):
         yield hv
-    finally:
-        sys.path.remove(REF)
-        for n, old in saved.items():
-            if old is None:
-                sys.modules.pop(n, None)
-            else:
-                sys.modules[n] = old
 
 
 # ----------------------------------------------------- scripted doubles
