@@ -269,6 +269,74 @@ def _decode_worker(wid: int, items: Sequence, magnifications: Sequence[float],
         q.put(("done", wid))
 
 
+def _consume_decode_queue(q, procs, *, encode, stage_fn, dim, store,
+                          batch_size, verbose, poll_s: float = 5.0) -> None:
+    """Parent-side consumer of the decode-worker message stream.
+
+    Runs until every worker's `done` sentinel arrives — but survives
+    workers that die WITHOUT one (segfault, OOM-kill): when the queue
+    stays quiet past `poll_s` and no worker is alive, any messages their
+    feeder threads flushed before death are drained and the loop exits
+    with a warning instead of blocking on `q.get()` forever. A worker
+    `error` for a level whose `level` header already arrived drops the
+    half-built grid and its in-flight device batches (a faulty slide must
+    not pin memory for the rest of the run)."""
+    import queue as _squeue
+
+    open_levels: dict = {}   # key -> [cand, grid, in_flight]
+    done = 0
+
+    def handle(msg) -> None:
+        nonlocal done
+        kind, payload = msg
+        if kind == "done":
+            done += 1
+        elif kind == "error":
+            slide_id, power, tb = payload
+            open_levels.pop((slide_id, power), None)
+            print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
+            print(tb)
+        elif kind == "level":
+            key, n_rows, n_cols, cand = payload
+            open_levels[key] = [cand,
+                                np.zeros((n_rows, n_cols, dim),
+                                         np.float32), []]
+            if verbose:
+                print(f"{key[0]} @ {key[1]}: {len(cand)}/"
+                      f"{n_rows * n_cols} cells pass tissue threshold")
+        elif kind == "batch" and payload[0] in open_levels:
+            key, arr, s, e = payload
+            if stage_fn is not None:
+                arr = stage_fn(arr)
+            open_levels[key][2].append((encode(arr), s, e))
+        elif kind == "flush" and payload in open_levels:
+            cand, grid, in_flight = open_levels.pop(payload)
+            slide_id, power = payload
+            try:
+                _drain_level(in_flight, cand, grid, batch_size)
+                store.save(slide_id, power, grid)
+            except Exception:
+                print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
+                traceback.print_exc()
+
+    while done < len(procs):
+        try:
+            handle(q.get(timeout=poll_s))
+        except _squeue.Empty:
+            if any(p.is_alive() for p in procs):
+                continue
+            while True:   # drain what the feeders flushed before dying
+                try:
+                    handle(q.get_nowait())
+                except _squeue.Empty:
+                    break
+            if done < len(procs):
+                print(f"WARNING: {len(procs) - done} decode worker(s) "
+                      "exited without finishing; their remaining slides "
+                      "were skipped (a rerun resumes via skip-if-exists)")
+            break
+
+
 def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
                        decode_workers, patch_size, tissue_threshold,
                        downscale, batch_size, threads, default_power, mesh,
@@ -278,8 +346,6 @@ def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
     parent stages batches to the device and encodes. Used by
     `process_slides` when decode_workers >= 2."""
     import multiprocessing as mp
-
-    import jax as _jax
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue(maxsize=max(batches_ahead, decode_workers))
@@ -298,39 +364,10 @@ def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
     # decode children never touch the device; the parent stages (sharded
     # over the mesh when there is one) as batches arrive off the queue
     stage_fn = _make_stager(stage_h2d, mesh)
-    open_levels: dict = {}   # key -> [n_rows, n_cols, cand, grid, in_flight]
-    done = 0
     try:
-        while done < len(procs):
-            kind, payload = q.get()
-            if kind == "done":
-                done += 1
-            elif kind == "error":
-                slide_id, power, tb = payload
-                print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
-                print(tb)
-            elif kind == "level":
-                key, n_rows, n_cols, cand = payload
-                open_levels[key] = [cand,
-                                    np.zeros((n_rows, n_cols, dim),
-                                             np.float32), []]
-                if verbose:
-                    print(f"{key[0]} @ {key[1]}: {len(cand)}/"
-                          f"{n_rows * n_cols} cells pass tissue threshold")
-            elif kind == "batch" and payload[0] in open_levels:
-                key, arr, s, e = payload
-                if stage_fn is not None:
-                    arr = stage_fn(arr)
-                open_levels[key][2].append((encode(arr), s, e))
-            elif kind == "flush" and payload in open_levels:
-                cand, grid, in_flight = open_levels.pop(payload)
-                slide_id, power = payload
-                try:
-                    _drain_level(in_flight, cand, grid, batch_size)
-                    store.save(slide_id, power, grid)
-                except Exception:
-                    print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
-                    traceback.print_exc()
+        _consume_decode_queue(q, procs, encode=encode, stage_fn=stage_fn,
+                              dim=dim, store=store, batch_size=batch_size,
+                              verbose=verbose)
     finally:
         for p in procs:
             p.terminate()

@@ -317,3 +317,78 @@ def test_process_slides_mesh_sharded_staging(tmp_path):
                          batch_size=8, threads=2, mesh=mesh)
     np.testing.assert_allclose(
         grid, np.asarray(ref_store.load("s0", 5.0)), atol=1e-6)
+
+
+def test_mp_consumer_survives_dead_worker(tmp_path):
+    """A decode worker that dies WITHOUT its `done` sentinel (segfault,
+    OOM-kill) must not hang the parent forever on q.get(): once no worker
+    is alive, buffered messages drain and the consumer returns. Messages
+    the dying worker's feeder flushed first (here: one complete level)
+    still land in the store."""
+    import queue as squeue
+
+    from paths_tpu.preprocess.pipeline import _consume_decode_queue
+
+    class DeadProc:
+        def is_alive(self):
+            return False
+
+    dim = 6
+    store = FeatureStore(str(tmp_path / "store"), create=True)
+    cand = np.array([[0, 0], [0, 1]])
+    q = squeue.Queue()
+    key = ("s0", 2.5)
+    q.put(("level", (key, 1, 2, cand)))
+    arr = np.zeros((4, 8, 8, 3), np.uint8)
+    q.put(("batch", (key, arr, 0, 2)))
+    q.put(("flush", key))
+    # worker dies here: no "done" ever arrives
+
+    def enc(a):
+        return np.ones((a.shape[0], dim), np.float32)
+
+    _consume_decode_queue(q, [DeadProc()], encode=enc, stage_fn=None,
+                          dim=dim, store=store, batch_size=4,
+                          verbose=False, poll_s=0.05)
+    got = np.asarray(store.load("s0", 2.5))
+    assert got.shape == (1, 2, dim) and np.all(got == 1.0)
+
+
+def test_mp_consumer_error_drops_half_built_level(tmp_path, capsys):
+    """A worker `error` for a level whose header already arrived drops
+    the half-built grid (no partial save, no leaked in-flight batches);
+    later batches/flushes for that key are ignored and other levels are
+    unaffected."""
+    import queue as squeue
+
+    from paths_tpu.preprocess.pipeline import _consume_decode_queue
+
+    class DeadProc:
+        def is_alive(self):
+            return False
+
+    dim = 3
+    store = FeatureStore(str(tmp_path / "store"), create=True)
+    cand = np.array([[0, 0]])
+    q = squeue.Queue()
+    bad, good = ("s0", 2.5), ("s0", 5.0)
+    arr = np.zeros((2, 8, 8, 3), np.uint8)
+    q.put(("level", (bad, 1, 1, cand)))
+    q.put(("batch", (bad, arr, 0, 1)))
+    q.put(("error", ("s0", 2.5, "boom traceback")))
+    q.put(("batch", (bad, arr, 0, 1)))   # post-error: must be ignored
+    q.put(("flush", bad))                # must not save
+    q.put(("level", (good, 1, 1, cand)))
+    q.put(("batch", (good, arr, 0, 1)))
+    q.put(("flush", good))
+    q.put(("done", 0))
+
+    def enc(a):
+        return np.full((a.shape[0], dim), 2.0, np.float32)
+
+    _consume_decode_queue(q, [DeadProc()], encode=enc, stage_fn=None,
+                          dim=dim, store=store, batch_size=2,
+                          verbose=False, poll_s=0.05)
+    assert not store.exists("s0", 2.5)
+    assert np.all(np.asarray(store.load("s0", 5.0)) == 2.0)
+    assert "ISSUE WITH SLIDE s0 AT POWER 2.5" in capsys.readouterr().out
