@@ -48,6 +48,13 @@ def main(argv=None):
                         default=[0.625, 1.25, 2.5, 5.0, 10.0])
     parser.add_argument("-ds", "--downscale", type=int, default=4,
                         help="Downscale factor for the background mask")
+    parser.add_argument("-lm", "--load_mode", type=int, default=0,
+                        choices=(0, 1),
+                        help="0: read each patch rect from the slide; "
+                             "1: read the whole level image once and "
+                             "slice patches from RAM (reference "
+                             "`preprocess.py:48-56` — faster on some "
+                             "storage, up to ~22GB RAM per level)")
     parser.add_argument("--tissue-threshold", type=float, default=0.1)
     parser.add_argument("--default-power", type=float, default=40.0,
                         help="Objective power assumed when the slide does "
@@ -92,7 +99,8 @@ def main(argv=None):
         patch_size=args.patch, tissue_threshold=args.tissue_threshold,
         downscale=args.downscale, batch_size=args.batch,
         threads=args.threads, mesh=mesh, default_power=args.default_power,
-        decode_workers=args.decode_workers, verbose=args.verbose)
+        decode_workers=args.decode_workers, load_mode=args.load_mode,
+        verbose=args.verbose)
 
 
 if __name__ == "__main__":

@@ -111,6 +111,38 @@ def _level_plan(wsi: WSIReader, power: float, patch_size: int,
     return n_rows, n_cols, np.argwhere(props > tissue_threshold)
 
 
+class _WholeLevelSource:
+    """Load-mode-1 patch source (reference `preprocess/preprocess.py:48-56`):
+    the whole level image is read from the slide ONCE and patches are
+    sliced out of host RAM. Faster on storage where many small rect reads
+    dominate (e.g. network filesystems), at the reference's documented
+    memory cost ("up to 22GB" for a large slide's 10x level). Exposes the
+    `read_rect` subset `_read_batch` uses, so it substitutes for the WSI
+    handle; patch coordinates are always in-bounds of the padded level
+    (cells come from `_level_plan`'s grid), and out-of-bounds pixels were
+    already white-padded by the underlying reader's whole-level read."""
+
+    def __init__(self, wsi: WSIReader, power: float, rows: int, cols: int):
+        self.img = wsi.read_rect((0, 0), (rows, cols), power)
+
+    def read_rect(self, loc, size, power) -> np.ndarray:
+        y, x = int(loc[0]), int(loc[1])
+        h, w = int(size[0]), int(size[1])
+        return self.img[y: y + h, x: x + w]
+
+
+def _patch_source(wsi: WSIReader, load_mode: int, power: float,
+                  n_rows: int, n_cols: int, patch_size: int):
+    """The object `_read_batch` reads patches from: the WSI handle itself
+    (load_mode 0, per-rect reads) or a whole-level RAM image (load_mode 1,
+    reference `preprocess.py:48-56` "load the entire image then cut it up
+    — faster on some systems")."""
+    if load_mode == 1:
+        return _WholeLevelSource(wsi, power, n_rows * patch_size,
+                                 n_cols * patch_size)
+    return wsi
+
+
 def _read_batch(wsi: WSIReader, cand: np.ndarray, bi: int, power: float,
                 patch_size: int, batch_size: int, pool: ThreadPoolExecutor,
                 camelyon: bool, stage_fn=None):
@@ -155,7 +187,7 @@ def _drain_level(in_flight, cand, grid, batch_size: int) -> None:
 def process_level(wsi: WSIReader, encode_fn: Callable, dim: int, power: float,
                   *, patch_size: int = 256, tissue_threshold: float = 0.1,
                   downscale: int = 4, batch_size: int = 64, threads: int = 8,
-                  camelyon: bool = False, mesh=None,
+                  camelyon: bool = False, mesh=None, load_mode: int = 0,
                   verbose: bool = False) -> np.ndarray:
     """One (slide, magnification) -> (rows/P, cols/P, D) float32 grid."""
     n_rows, n_cols, cand = _level_plan(wsi, power, patch_size,
@@ -170,18 +202,19 @@ def process_level(wsi: WSIReader, encode_fn: Callable, dim: int, power: float,
 
     encode = _make_encode_jit(encode_fn, mesh)
     stage_fn = _make_stager(True, mesh)
+    src = _patch_source(wsi, load_mode, power, n_rows, n_cols, patch_size)
     pool = ThreadPoolExecutor(max_workers=threads)
     try:
         n_batches = math.ceil(len(cand) / batch_size)
 
         # software pipeline: read batch k+1 while the device encodes k
-        pending = pool.submit(_read_batch, wsi, cand, 0, power, patch_size,
+        pending = pool.submit(_read_batch, src, cand, 0, power, patch_size,
                               batch_size, pool, camelyon, stage_fn)
         in_flight = []  # (in-flight embeddings, s, e)
         for bi in range(n_batches):
             arr, s, e = pending.result()
             if bi + 1 < n_batches:
-                pending = pool.submit(_read_batch, wsi, cand, bi + 1, power,
+                pending = pool.submit(_read_batch, src, cand, bi + 1, power,
                                       patch_size, batch_size, pool, camelyon,
                                       stage_fn)
             in_flight.append((encode(arr), s, e))   # async dispatch
@@ -196,7 +229,7 @@ def process_slide(path: str, slide_id: str, encode_fn: Callable, dim: int,
                   magnifications: Sequence[float], store: FeatureStore, *,
                   patch_size: int = 256, tissue_threshold: float = 0.1,
                   downscale: int = 4, batch_size: int = 64, threads: int = 8,
-                  default_power: float = 40.0, mesh=None,
+                  default_power: float = 40.0, mesh=None, load_mode: int = 0,
                   verbose: bool = False) -> None:
     """All magnifications for one slide, with skip-if-exists resume and
     per-(slide, power) fault tolerance (`preprocess.py:113-146`)."""
@@ -212,7 +245,7 @@ def process_slide(path: str, slide_id: str, encode_fn: Callable, dim: int,
                     wsi, encode_fn, dim, power, patch_size=patch_size,
                     tissue_threshold=tissue_threshold, downscale=downscale,
                     batch_size=batch_size, threads=threads, mesh=mesh,
-                    verbose=verbose)
+                    load_mode=load_mode, verbose=verbose)
                 store.save(slide_id, power, grid)
             except Exception:
                 print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
@@ -234,6 +267,7 @@ def _decode_worker(wid: int, items: Sequence, magnifications: Sequence[float],
 
     store = _FS(store_root)
     pool = ThreadPoolExecutor(max_workers=opts["threads"])
+    load_mode = opts.get("load_mode", 0)
     try:
         for path, slide_id in items:
             try:
@@ -252,10 +286,12 @@ def _decode_worker(wid: int, items: Sequence, magnifications: Sequence[float],
                             opts["tissue_threshold"], opts["downscale"],
                             camelyon=False)
                         q.put(("level", (key, n_rows, n_cols, cand)))
+                        src = _patch_source(wsi, load_mode, power, n_rows,
+                                            n_cols, opts["patch_size"])
                         nb = math.ceil(len(cand) / opts["batch_size"])
                         for bi in range(nb):
                             arr, s, e = _read_batch(
-                                wsi, cand, bi, power, opts["patch_size"],
+                                src, cand, bi, power, opts["patch_size"],
                                 opts["batch_size"], pool, False, None)
                             q.put(("batch", (key, arr, s, e)))
                         q.put(("flush", key))
@@ -340,7 +376,7 @@ def _consume_decode_queue(q, procs, *, encode, stage_fn, dim, store,
 def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
                        decode_workers, patch_size, tissue_threshold,
                        downscale, batch_size, threads, default_power, mesh,
-                       batches_ahead, stage_h2d, verbose) -> None:
+                       batches_ahead, stage_h2d, load_mode, verbose) -> None:
     """Multi-process decode fan-in: `decode_workers` spawn processes
     decode slide shards in parallel and feed one bounded queue; the
     parent stages batches to the device and encodes. Used by
@@ -351,7 +387,8 @@ def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
     q = ctx.Queue(maxsize=max(batches_ahead, decode_workers))
     opts = {"patch_size": patch_size, "tissue_threshold": tissue_threshold,
             "downscale": downscale, "batch_size": batch_size,
-            "threads": threads, "default_power": default_power}
+            "threads": threads, "default_power": default_power,
+            "load_mode": load_mode}
     shards = [list(items)[i::decode_workers] for i in range(decode_workers)]
     procs = [ctx.Process(target=_decode_worker,
                          args=(i, shards[i], list(magnifications),
@@ -380,7 +417,8 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                    downscale: int = 4, batch_size: int = 64, threads: int = 8,
                    default_power: float = 40.0, mesh=None,
                    batches_ahead: int = 6, stage_h2d: bool = True,
-                   decode_workers: int = 0, verbose: bool = False) -> None:
+                   decode_workers: int = 0, load_mode: int = 0,
+                   verbose: bool = False) -> None:
     """Pipelined multi-slide preprocessing: a producer thread walks every
     (slide, magnification), masks, reads patch batches, and stages them
     to the device through a bounded queue; the consumer encodes and
@@ -401,6 +439,11 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
         fan-in, for many-core hosts where one thread can't saturate the
         chip. 0/1 keeps the single producer thread (right for this
         1-core dev host).
+    :param load_mode: 0 reads each patch rect from the slide (the
+        default); 1 reads the WHOLE level image once and slices patches
+        from host RAM — the reference's `--load_mode 1`
+        (`preprocess/preprocess.py:48-56`), faster on storage where many
+        small reads dominate, at a large per-level RAM cost.
     """
     if decode_workers and decode_workers >= 2:
         return _process_slides_mp(
@@ -410,7 +453,7 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
             batch_size=batch_size, threads=threads,
             default_power=default_power, mesh=mesh,
             batches_ahead=batches_ahead, stage_h2d=stage_h2d,
-            verbose=verbose)
+            load_mode=load_mode, verbose=verbose)
 
     import queue
     import threading
@@ -459,10 +502,12 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                             if not put(("level", (slide_id, power, n_rows,
                                                   n_cols, cand))):
                                 return
+                            src = _patch_source(wsi, load_mode, power,
+                                                n_rows, n_cols, patch_size)
                             nb = math.ceil(len(cand) / batch_size)
                             for bi in range(nb):
                                 if not put(("batch", _read_batch(
-                                        wsi, cand, bi, power, patch_size,
+                                        src, cand, bi, power, patch_size,
                                         batch_size, pool, False,
                                         stage_fn))):
                                     return

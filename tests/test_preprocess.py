@@ -392,3 +392,31 @@ def test_mp_consumer_error_drops_half_built_level(tmp_path, capsys):
     assert not store.exists("s0", 2.5)
     assert np.all(np.asarray(store.load("s0", 5.0)) == 2.0)
     assert "ISSUE WITH SLIDE s0 AT POWER 2.5" in capsys.readouterr().out
+
+
+def test_load_mode_whole_level_matches_per_rect(tmp_path):
+    """load_mode=1 (whole level image read once, patches sliced from host
+    RAM — reference `preprocess/preprocess.py:48-56`) produces grids
+    byte-identical to load_mode=0's per-rect reads, including the white
+    padding of the ragged right/bottom edge, through both the per-level
+    path and the multi-slide pipeline."""
+    from paths_tpu.preprocess.pipeline import process_slides
+
+    encode, dim = _dummy_encoder()
+    # 500x700 at patch 128 -> ragged edges (grid 4x6 with padded border)
+    img, _ = make_fake_slide(rows=500, cols=700)
+    wsi = ArrayWSI(img, base_power=10.0)
+
+    g0 = process_level(wsi, encode, dim, power=10.0, patch_size=128,
+                       batch_size=8, threads=2)
+    g1 = process_level(wsi, encode, dim, power=10.0, patch_size=128,
+                       batch_size=8, threads=2, load_mode=1)
+    np.testing.assert_array_equal(g0, g1)
+
+    p = os.path.join(str(tmp_path), "s0.npy")
+    np.save(p, img)
+    store = FeatureStore(str(tmp_path / "lm1"), create=True)
+    process_slides([(p, "s0")], encode, dim, [5.0, 10.0], store,
+                   patch_size=128, batch_size=8, threads=2,
+                   default_power=10.0, load_mode=1)
+    np.testing.assert_array_equal(np.asarray(store.load("s0", 10.0)), g0)
