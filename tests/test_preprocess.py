@@ -269,16 +269,19 @@ def test_process_slides_multiprocess_matches_serial(tmp_path):
         return a.reshape(a.shape[0], -1)[:, :6] / 255.0
 
     grids = {}
-    for name, workers in [("serial", 0), ("mp", 2)]:
+    for name, workers, lm in [("serial", 0, 0), ("mp", 2, 0),
+                              ("mp_lm1", 2, 1)]:
         store = FeatureStore(str(tmp_path / f"store_{name}"), create=True)
         process_slides(items, enc, 6, powers, store, patch_size=64,
                        batch_size=4, threads=2, default_power=10.0,
-                       stage_h2d=False, decode_workers=workers)
+                       stage_h2d=False, decode_workers=workers,
+                       load_mode=lm)
         grids[name] = [np.asarray(store.load(sid, p))
                        for _, sid in items for p in powers]
 
-    for a, b in zip(grids["serial"], grids["mp"]):
-        np.testing.assert_array_equal(a, b)
+    for name in ("mp", "mp_lm1"):
+        for a, b in zip(grids["serial"], grids[name]):
+            np.testing.assert_array_equal(a, b)
 
 
 def test_process_slides_mesh_sharded_staging(tmp_path):
