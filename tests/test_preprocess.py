@@ -423,3 +423,27 @@ def test_load_mode_whole_level_matches_per_rect(tmp_path):
                    patch_size=128, batch_size=8, threads=2,
                    default_power=10.0, load_mode=1)
     np.testing.assert_array_equal(np.asarray(store.load("s0", 10.0)), g0)
+
+
+def test_tail_batch_bucketing_grids_equal():
+    """Pow-2 tail bucketing (`_bucket`): the tail batch is padded to the
+    smallest power-of-two bucket instead of full batch_size, and grids
+    are unchanged across batch sizes (the scatter consumes each batch's
+    own padded width)."""
+    from paths_tpu.preprocess.pipeline import _bucket
+
+    assert _bucket(3, 256) == 32
+    assert _bucket(44, 256) == 64
+    assert _bucket(176, 256) == 256
+    assert _bucket(256, 256) == 256
+    assert _bucket(5, 8) == 8          # small batch sizes: unchanged
+    assert _bucket(33, 64) == 64
+
+    img, _ = make_fake_slide(rows=512, cols=768)
+    wsi = ArrayWSI(img, base_power=10.0)
+    encode, dim = _dummy_encoder()
+    grids = [process_level(wsi, encode, dim, power=10.0, patch_size=128,
+                           batch_size=bs, threads=2)
+             for bs in (4, 8, 64)]   # 64 >> candidates: pure tail bucket
+    np.testing.assert_array_equal(grids[0], grids[1])
+    np.testing.assert_array_equal(grids[0], grids[2])
