@@ -212,8 +212,14 @@ def load_raw_slide(path: str, base_power: float, patch_size: int,
 
 def encode_bag(slide: RawSlide, encode_fn, batch_size: int = 256) -> PatchBag:
     """Encode a loaded RawSlide's patches -> a B=1 PatchBag
-    (`patch_batch.py:78-102`). Patches are encoded in fixed-size padded
-    batches so one compiled program serves every level."""
+    (`patch_batch.py:78-102`). Patches cross to the device as uint8 (the
+    [0,1] cast runs device-side) in pow-2-bucketed padded batches
+    (`pipeline._bucket`): full `batch_size` for the body, the smallest
+    power-of-two bucket for the tail — deep levels of the heatmap
+    recursion hold few patches and would otherwise ship/encode mostly
+    zero padding, at a handful of compiled encoder shapes."""
+    from paths_tpu.preprocess.pipeline import _bucket
+
     assert slide.patches is not None, "call load_patches() first"
     n = slide.patches.shape[0]
     p = slide.patch_size
@@ -221,7 +227,7 @@ def encode_bag(slide: RawSlide, encode_fn, batch_size: int = 256) -> PatchBag:
     fts = []
     for s in range(0, n, batch_size):
         e = min(s + batch_size, n)
-        arr = np.zeros((batch_size, p, p, 3), np.uint8)
+        arr = np.zeros((_bucket(e - s, batch_size), p, p, 3), np.uint8)
         arr[: e - s] = slide.patches[s:e]
         emb = encode_fn(jnp.asarray(arr).astype(jnp.float32) / 255.0)
         fts.append(np.asarray(emb)[: e - s])
