@@ -90,3 +90,51 @@ def test_subtype_training_end_to_end(tmp_path):
                        mesh=make_mesh(1), verbose=False)
     assert np.isfinite(stats["train_loss"][2])
     assert "train_AUC" in stats and 0.0 <= stats["train_AUC"][2] <= 1.0
+
+
+def _assert_sd_bitwise_equal(a, b):
+    assert set(a) == set(b), (set(a) ^ set(b))
+    for k in a:
+        x, y = np.asarray(a[k]), np.asarray(b[k])
+        assert x.shape == y.shape and x.dtype == y.dtype, k
+        np.testing.assert_array_equal(x, y, err_msg=k)
+
+
+def test_export_torch_roundtrip_bitwise():
+    """torch -> jax -> torch is bitwise: `recursive_to_torch` is the exact
+    inverse of `recursive_from_torch` (transposes only, no arithmetic)."""
+    from paths_tpu.convert import recursive_from_torch, recursive_to_torch
+
+    for lstm in (True, False):
+        cfg = small_config(lstm=lstm)
+        torch.manual_seed(5)
+        tmodel = TorchRecursive(cfg.num_levels, lstm=lstm,
+                                **torch_kwargs(cfg))
+        sd = to_numpy_sd(tmodel)
+        back = recursive_to_torch(recursive_from_torch(sd, cfg), cfg)
+        _assert_sd_bitwise_equal(sd, back)
+
+
+def test_save_torch_checkpoint_loads_back(tmp_path):
+    """`save_torch_checkpoint` writes a model.pt our own loader (and the
+    mirror's strict load_state_dict) accepts, reproducing the params."""
+    from paths_tpu.convert import (load_torch_checkpoint,
+                                   save_torch_checkpoint)
+
+    cfg = small_config()
+    params = recursive_init(jax.random.PRNGKey(9), cfg)
+    path = os.path.join(str(tmp_path), "model.pt")
+    save_torch_checkpoint(path, params, cfg)
+
+    # strict load into the torch mirror: exact key space
+    tmodel = TorchRecursive(cfg.num_levels, lstm=True, **torch_kwargs(cfg))
+    tmodel.load_state_dict(torch.load(path, weights_only=True), strict=True)
+
+    # and our loader round-trips the values bitwise
+    again = load_torch_checkpoint(path, cfg)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(again)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        if hasattr(x, "shape"):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

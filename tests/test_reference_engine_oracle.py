@@ -76,7 +76,7 @@ def ref_config_dir(tmp_path, cfg, task="survival", subtypes=None):
 
 
 def run_reference(ref, tmp_path, our_cfg, slide_grids, labels,
-                  task="survival", subtypes=None, seed=0):
+                  task="survival", subtypes=None, seed=0, state_dict=None):
     """The reference's own training-time path: PreprocessedSlide items ->
     collate_fn -> inference_end2end -> loss -> backward. Returns (model,
     per-level records, hazards/logits, loss, grads-as-our-pytree)."""
@@ -84,6 +84,8 @@ def run_reference(ref, tmp_path, our_cfg, slide_grids, labels,
         ref_config_dir(tmp_path, our_cfg, task, subtypes), test_mode=True)
     torch.manual_seed(seed)
     model = rcfg.get_model()
+    if state_dict is not None:  # drop in an exported checkpoint, strictly
+        model.load_state_dict(state_dict, strict=True)
 
     grids = {}  # (slide_id, power) -> tensor
     for j, g in enumerate(slide_grids):
@@ -236,3 +238,37 @@ def test_subtype_classification_vs_reference(ref, tmp_path):
     _assert_engine_matches(ref, tmp_path, our_cfg, slide_grids, labels_t,
                            labels_j, task="subtype_classification",
                            subtypes=subtypes)
+
+
+def test_exported_checkpoint_drops_into_reference(ref, tmp_path):
+    """A paths_tpu-trained (here: random-init) model exported via
+    `convert.save_torch_checkpoint` is a drop-in for the reference:
+    `load_state_dict(strict=True)` accepts it (`utils.py:189` contract)
+    and the reference's own end-to-end recursion reproduces our hazards
+    and loss on the same slides."""
+    from paths_tpu.convert import recursive_to_torch
+    from paths_tpu.models.recursive import recursive_init
+
+    our_cfg = small_config()
+    params = recursive_init(jax.random.PRNGKey(21), our_cfg)
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in recursive_to_torch(params, our_cfg).items()}
+
+    rng = np.random.default_rng(17)
+    d = our_cfg.model_config.patch_embed_dim
+    slide_grids = [
+        make_grids(rng, [(3, 4), (5, 7), (10, 14)], d),
+        make_grids(rng, [(2, 2), (4, 4), (8, 8)], d, bg_fraction=0.3),
+    ]
+    labels_t = [{"survival_bin": 0, "survival": 10.0, "censored": 0},
+                {"survival_bin": 2, "survival": 30.0, "censored": 1}]
+    labels_j = {"survival_bin": np.array([0, 2], np.int32),
+                "censored": np.array([0, 1], np.int32)}
+
+    _, _, ref_pred, ref_loss, _ = run_reference(
+        ref, tmp_path, our_cfg, slide_grids, labels_t, state_dict=sd)
+
+    bag0, tables = jax_inputs(slide_grids, our_cfg)
+    loss_j, aux = end2end_loss(params, our_cfg, bag0, tables, labels_j)
+    np.testing.assert_allclose(np.asarray(aux["pred"]), ref_pred, atol=ATOL)
+    np.testing.assert_allclose(float(loss_j), ref_loss, atol=ATOL)
