@@ -85,12 +85,19 @@ def reference_modules(*names):
     stubs = _make_stubs()
     saved = {n: sys.modules.get(n)
              for n in list(stubs) + _REF_MODULES}
+    before = set(sys.modules)  # catch transitive imports beyond the list
     sys.modules.update(stubs)
     sys.path.insert(0, REFERENCE_DIR)
     try:
         yield tuple(importlib.import_module(n) for n in names)
     finally:
         sys.path.remove(REFERENCE_DIR)
+        # drop EVERY module the block added (the reference uses generic
+        # top-level names — utils, config, model — that would otherwise
+        # shadow same-named imports in later tests), then restore what we
+        # replaced
+        for n in set(sys.modules) - before:
+            sys.modules.pop(n, None)
         for n, old in saved.items():
             if old is None:
                 sys.modules.pop(n, None)

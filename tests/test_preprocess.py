@@ -351,7 +351,7 @@ def test_mp_consumer_survives_dead_worker(tmp_path):
         return np.ones((a.shape[0], dim), np.float32)
 
     _consume_decode_queue(q, [DeadProc()], encode=enc, stage_fn=None,
-                          dim=dim, store=store, batch_size=4,
+                          dim=dim, store=store,
                           verbose=False, poll_s=0.05)
     got = np.asarray(store.load("s0", 2.5))
     assert got.shape == (1, 2, dim) and np.all(got == 1.0)
@@ -390,7 +390,7 @@ def test_mp_consumer_error_drops_half_built_level(tmp_path, capsys):
         return np.full((a.shape[0], dim), 2.0, np.float32)
 
     _consume_decode_queue(q, [DeadProc()], encode=enc, stage_fn=None,
-                          dim=dim, store=store, batch_size=2,
+                          dim=dim, store=store,
                           verbose=False, poll_s=0.05)
     assert not store.exists("s0", 2.5)
     assert np.all(np.asarray(store.load("s0", 5.0)) == 2.0)
@@ -438,6 +438,11 @@ def test_tail_batch_bucketing_grids_equal():
     assert _bucket(256, 256) == 256
     assert _bucket(5, 8) == 8          # small batch sizes: unchanged
     assert _bucket(33, 64) == 64
+    # non-pow-2 mesh data axis: tail rounds UP to a multiple of the axis
+    # so NamedSharding(P("data")) accepts it (ADVICE r3)
+    assert _bucket(44, 256, mult=6) == 66
+    assert _bucket(44, 256, mult=4) == 64   # pow-2 axes: unchanged
+    assert _bucket(256, 256, mult=6) == 258
 
     img, _ = make_fake_slide(rows=512, cols=768)
     wsi = ArrayWSI(img, base_power=10.0)
