@@ -117,7 +117,9 @@ class Config:
     table_dtype: str = "float32"
     # "fused": whole-batch tables resident in HBM (fastest); "streaming":
     # host-gathered two-pass execution for datasets whose tables exceed
-    # HBM (see paths_tpu/engine/streaming.py)
+    # HBM (see paths_tpu/engine/streaming.py); "auto": pick per run from
+    # an HBM estimate of the collated tables (engine/auto.py — logs the
+    # decision, errs toward streaming near the boundary)
     engine: str = "fused"
     # level-0 bags are padded up to a multiple of this (static-shape bucketing)
     level0_bucket: int = 256

@@ -127,6 +127,17 @@ class ServingSession:
                                         cache_slides=cache_slides)
         self._index: Dict[str, int] = {sid: i
                                        for i, sid in enumerate(self.slide_ids)}
+        if self.config.engine == "auto":
+            # resolve from the store's actual shape bounds before any
+            # engine-dependent branch below; self.config is session-owned
+            # (Config.load copy), so recording the decision on it is safe
+            from paths_tpu.engine.auto import resolve_engine
+
+            auto_pads = (self._dataset.global_pads()
+                         if self.slide_ids else None)
+            self.config.engine = resolve_engine(
+                self.config, auto_pads,
+                batch_size or self.config.batch_size[0])
         self._lock = threading.Lock()   # one batch on device at a time
         from collections import OrderedDict
 

@@ -260,7 +260,19 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
     # batches are padded to (and sharded over) the DATA axis; a 2-D mesh's
     # `model` axis shards each slide's patch dimension instead
     mesh_size = data_axis_size(mesh)
-    streaming = config.engine == "streaming"
+
+    engine = config.engine
+    if engine == "auto":
+        # price the fused engine's HBM residency from the full-shape scan
+        # (engine/auto.py); the same pads then drive static collation
+        from paths_tpu.engine.auto import resolve_engine
+
+        auto_pads = union_pads(*(d.global_pads() for d in
+                                 [train_ds, val_ds, test_ds]
+                                 if d is not None))
+        engine = resolve_engine(config, auto_pads, config.batch_size[0],
+                                verbose=verbose)
+    streaming = engine == "streaming"
 
     # one compiled shape per program across the whole run (train + both
     # eval splits share the same padded shapes). The streaming engine only
@@ -268,8 +280,12 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
     # global-pads pass touches one grid per slide.
     pads = None
     if config.static_shapes:
-        pads = union_pads(*(d.global_pads(level0_only=streaming) for d in
-                            [train_ds, val_ds, test_ds] if d is not None))
+        if config.engine == "auto":
+            pads = auto_pads   # full pads superset; streaming reads n0
+        else:
+            pads = union_pads(*(d.global_pads(level0_only=streaming)
+                                for d in [train_ds, val_ds, test_ds]
+                                if d is not None))
 
     params = recursive_init(jax.random.PRNGKey(config.seed), config)
     tx = make_optimizer(config)
