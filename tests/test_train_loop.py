@@ -85,7 +85,9 @@ def test_train_generalizes_on_signal(tmp_path):
     assert stats["train_loss"][cfg.num_epochs] < stats["train_loss"][1]
     lines = open(os.path.join(mdir, "metrics.jsonl")).read().splitlines()
     final = json.loads(lines[-1])
-    assert final["test_c-index"] > 0.75, (
+    # fixed seed scores 0.833 here; 0.80 is the VERDICT-r3 bar (the
+    # injected signal supports it — BACKLOG 0.80-0.85 across seeds)
+    assert final["test_c-index"] >= 0.80, (
         f"no generalization: test c-index {final['test_c-index']:.3f} "
         f"(val history {stats.get('val_c-index')})")
 
@@ -134,21 +136,25 @@ def test_train_generalizes_on_signal_streaming(tmp_path):
                verbose=False)
     lines = open(os.path.join(mdir, "metrics.jsonl")).read().splitlines()
     final = json.loads(lines[-1])
-    assert final["test_c-index"] > 0.75, f"no generalization: {final}"
+    # identical trajectory to the fused run (0.833); same 0.80 bar
+    assert final["test_c-index"] >= 0.80, f"no generalization: {final}"
 
 
-def test_train_generalizes_on_signal_subtype(tmp_path):
-    """Same held-out learning proof for the classification task: subtype
-    labels derive (noisily) from the latent feature signal, and the
-    TEST-split AUC must clear chance decisively."""
+@pytest.mark.parametrize("engine", ["fused", "streaming"])
+def test_train_generalizes_on_signal_subtype(tmp_path, engine):
+    """Same held-out learning proof for the classification task, on BOTH
+    engines: subtype labels derive (noisily) from the latent feature
+    signal, and the TEST-split AUC must clear chance decisively (fixed
+    seed scores 0.944 at 15 epochs; 0.85 bar)."""
     import json
 
     from paths_tpu.data.synthetic import make_signal_metadata, make_signal_store
 
     tmp = str(tmp_path)
-    cfg = tiny_train_config(tmp, num_epochs=10, lr=3e-3, eval_epochs=2,
+    cfg = tiny_train_config(tmp, num_epochs=15, lr=3e-3, eval_epochs=3,
                             task="subtype_classification",
-                            filter_to_subtypes=["IDC", "ILC"], nbins=2)
+                            filter_to_subtypes=["IDC", "ILC"], nbins=2,
+                            engine=engine)
     ids, z = make_signal_store(cfg.preprocess_dir, cfg, num_slides=60,
                                base_hw=(3, 3), seed=3)
     make_signal_metadata(cfg.csv_path, ids, z, seed=3,
@@ -160,7 +166,7 @@ def test_train_generalizes_on_signal_subtype(tmp_path):
                verbose=False)
     lines = open(os.path.join(mdir, "metrics.jsonl")).read().splitlines()
     final = json.loads(lines[-1])
-    assert final["test_AUC"] > 0.75, f"no generalization: {final}"
+    assert final["test_AUC"] >= 0.85, f"no generalization: {final}"
 
 
 def test_train_resumes_from_checkpoint(ds):
