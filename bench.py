@@ -199,49 +199,71 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
             np.save(p, img)
         items.append((p, f"s{i}"))
 
-    def run(encode_fn, stage_h2d=True):
+    def run(encode_fn, stage_h2d=True, decode_workers=0):
         out = tempfile.mkdtemp(prefix="paths_tpu_bench_store_")
         store = FeatureStore(out, create=True)
+        stats: dict = {}
         t0 = time.perf_counter()
         process_slides(items, encode_fn, dim, powers, store,
                        batch_size=batch_size, threads=threads,
-                       default_power=10.0, stage_h2d=stage_h2d)
+                       default_power=10.0, stage_h2d=stage_h2d,
+                       decode_workers=decode_workers, stats=stats)
         dt = time.perf_counter() - t0
         patches = sum(
             int((np.abs(np.asarray(store.load(sid, p))).sum(-1) > 0).sum())
             for _, sid in items for p in powers)
         shutil.rmtree(out, ignore_errors=True)
-        return dt, patches
+        return dt, patches, stats
 
     run(encode)                      # compile + warm every level shape
-    t_full, patches = min(run(encode) for _ in range(3))
+    t_full, patches, st = min((run(encode) for _ in range(3)),
+                              key=lambda r: r[0])
+    h2d_busy = st.get("h2d_busy_s", 0.0)
 
     def null_encode(arr):
         n = arr.shape[0] if hasattr(arr, "shape") else batch_size
         return np.zeros((n, dim), np.float32)
 
-    # decode-only (no H2D staging, no encode), then decode+staging: the
-    # difference isolates the host->device transfer share of the wall.
+    # decode-only wall (no H2D staging, no encode); the transfer wall is
+    # the staging thread's busy time from the FULL run (h2d_busy). The
+    # H2D runs on a dedicated thread overlapping decode, so the honest
+    # lower bound on the wall is max(decode, H2D), not the sum —
+    # overlap_efficiency reports how close the run gets to it.
     t_decode = min(run(null_encode, stage_h2d=False)[0] for _ in range(2))
-    t_stage = min(run(null_encode, stage_h2d=True)[0] for _ in range(2))
+
+    # measured -w path: same workload with 2 decode processes feeding
+    # the parent (reference -w shape). One trial: on this 1-core host
+    # it only proves the path + prices the spawn/queue overhead; on
+    # many-core hosts set PATHS_TPU_BENCH_DECODE_WORKERS for real
+    # fan-out numbers.
+    mp_workers = int(os.environ.get("PATHS_TPU_BENCH_DECODE_WORKERS", "2"))
+    t_mp = run(encode, decode_workers=mp_workers)[0] if mp_workers else None
+
     shutil.rmtree(slide_dir, ignore_errors=True)
-    t_full, t_decode, t_stage = (t / n_slides
-                                 for t in (t_full, t_decode, t_stage))
+    t_full, t_decode, h2d_busy = (t / n_slides
+                                  for t in (t_full, t_decode, h2d_busy))
     patches //= n_slides
     flops = vit_flops_per_image(spec)
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
                 None)
     pps = patches / t_full
+    floor = max(t_decode, h2d_busy)
     return {
         "preprocess_slides_per_hour": round(3600.0 / t_full, 1),
         "preprocess_patches_per_sec": round(pps, 1),
         "preprocess_patches_per_slide": patches,
         "preprocess_decode_s": round(t_decode, 2),
-        "preprocess_h2d_s": round(max(t_stage - t_decode, 0.0), 2),
-        "preprocess_encode_exposed_s": round(max(t_full - t_stage, 0.0), 2),
+        "preprocess_h2d_s": round(h2d_busy, 2),
+        "preprocess_encode_exposed_s": round(max(t_full - floor, 0.0), 2),
         "preprocess_total_s": round(t_full, 2),
+        # 1.0 = wall equals the max(decode, H2D) floor (perfect overlap);
+        # the pre-overlap pipeline sat at floor/(decode+H2D) ~ 0.64
+        "preprocess_overlap_efficiency": round(floor / t_full, 3)
+        if t_full else None,
         "preprocess_decode_workers": 0,   # single producer (1-core host)
+        "preprocess_mp_decode_workers": mp_workers or None,
+        "preprocess_mp_total_s": round(t_mp / n_slides, 2) if t_mp else None,
         "preprocess_native_decode": _native_jpeg_available(),
         # MFU of the WHOLE pipeline wall (host decode + H2D included) —
         # the encoder's own MFU is the standalone img/s figure; on
@@ -249,6 +271,132 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
         "preprocess_pipeline_mfu": round(pps * flops / peak, 3) if peak
         else None,
     }
+
+
+def bench_heatmap(cfg: Config, grid_hw=(32, 40), encoder: str = "UNI",
+                  runs: int = 2) -> dict:
+    """BASELINE.json workload #2: raw-slide inference + heatmap end to
+    end on ONE synthetic tiled-JPEG WSI — per-level JPEG decode, UNI
+    encode, the full 5-level recursion with on-the-fly patch loading,
+    folded-importance render, PDF out (`heatmap_visualise.py:52-205`).
+    Reports steady-state seconds per slide (first run compiles)."""
+    import contextlib
+    import shutil
+    import tempfile
+
+    from paths_tpu.encoders.registry import from_name
+    from paths_tpu.models.recursive import recursive_init
+    from paths_tpu.preprocess.wsi import write_tiled_jpeg
+    from paths_tpu.viz.heatmap import heatmap_slide
+
+    encode, dim, _ = from_name(encoder)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    d = tempfile.mkdtemp(prefix="paths_tpu_bench_hm_")
+    slide_path = os.path.join(d, "s0.tiles")
+    write_tiled_jpeg(make_synthetic_slide(grid_hw, seed=0), slide_path,
+                     base_power=10.0)
+
+    def run():
+        out_pdf = os.path.join(d, "hm.pdf")
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(sys.stderr):   # depth progress
+            heatmap_slide(cfg, params, encode, slide_path, None, out_pdf,
+                          camelyon=False, default_power=10.0)
+        dt = time.perf_counter() - t0
+        assert os.path.getsize(out_pdf) > 0
+        return dt
+
+    try:
+        run()                                  # compile + warm
+        t = min(run() for _ in range(runs))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"heatmap_slide_s": round(t, 2)}
+
+
+def bench_kernel_parity(small: bool = False) -> dict:
+    """On-chip numerics certification of every Pallas path (VERDICT r3
+    #1): the fused attn+MLP block pair, the single-kernel fused block,
+    the packed-SwiGLU block, and the masked flash attention forward AND
+    backward, each against the XLA path on the SAME device and inputs.
+    CPU tests only ever run these kernels in the Pallas interpreter; a
+    Mosaic lowering bug would produce wrong features without failing a
+    test — this block would catch it in BENCH_r{N}. f32 inputs at
+    highest matmul precision, so real error, not matmul-precision noise.
+    Matches the numerics of the reference's encoder blocks
+    (`model/aggregator.py:58-76`, `preprocess/preprocess.py:94-105`)."""
+    from paths_tpu.encoders.vit import ViTSpec, vit_apply, vit_init
+    from paths_tpu.kernels.flash_attention import (_attn_reference,
+                                                   masked_flash_attention)
+
+    def err(a, b):
+        return float(np.max(np.abs(np.asarray(a, np.float64)
+                                   - np.asarray(b, np.float64))))
+
+    if small:   # CPU smoke (Pallas interpreter): same code paths, tiny shapes
+        gelu_spec = ViTSpec(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                            num_heads=2, mlp_ratio=2.0, layer_scale=True)
+        swi_spec = ViTSpec(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                           num_heads=2, mlp_ratio=2.0, swiglu=True,
+                           num_reg_tokens=2, pool="token+mean")
+        flash_bhnd, flash_lens = (2, 2, 256, 32), (200, 97)
+    else:
+        gelu_spec = ViTSpec(img_size=224, embed_dim=256, depth=2,
+                            num_heads=4, layer_scale=True)
+        swi_spec = ViTSpec(img_size=224, patch_size=14, embed_dim=256,
+                           depth=2, num_heads=4, mlp_ratio=4.0,
+                           swiglu=True, num_reg_tokens=4,
+                           pool="token+mean")
+        flash_bhnd, flash_lens = (2, 4, 1024, 64), (1000, 517)
+
+    out = {}
+    with jax.default_matmul_precision("highest"):
+        rng = np.random.default_rng(11)
+        s = gelu_spec.img_size
+        imgs = jax.device_put(jnp.asarray(
+            rng.uniform(size=(4, s, s, 3)).astype(np.float32)))
+        for name, spec, impls in [
+                ("fused_pair", gelu_spec, ("fused",)),  # attn + MLP pair
+                ("fused1", gelu_spec, ("fused1",)),     # single kernel
+                ("swiglu", swi_spec, ("fused",))]:      # packed SwiGLU
+            params = vit_init(jax.random.PRNGKey(3), spec)
+            ref = np.asarray(vit_apply(params, imgs,
+                                       compute_dtype=jnp.float32,
+                                       attn_impl="xla"))
+            scale = float(np.abs(ref).max())
+            for impl in impls:
+                got = vit_apply(params, imgs, compute_dtype=jnp.float32,
+                                attn_impl=impl)
+                out[f"{name}_vs_xla_max_err"] = round(err(got, ref), 7)
+                out[f"{name}_vs_xla_rel_err"] = round(
+                    err(got, ref) / scale, 7)
+
+        # masked flash attention, ragged lengths, forward AND backward
+        b, h, n, d = flash_bhnd
+        q, k, v = (jax.device_put(jnp.asarray(
+            rng.normal(size=(b, h, n, d)).astype(np.float32) * 0.5))
+            for _ in range(3))
+        lengths = jnp.asarray(np.array(flash_lens, np.int32))
+        g = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+
+        def loss_flash(q, k, v):
+            return jnp.sum(masked_flash_attention(q, k, v, lengths) * g)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_attn_reference(q, k, v, lengths) * g)
+
+        out["flash_fwd_vs_xla_max_err"] = round(
+            err(masked_flash_attention(q, k, v, lengths),
+                _attn_reference(q, k, v, lengths)), 7)
+        gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        out["flash_bwd_vs_xla_max_err"] = round(
+            max(err(a, r) for a, r in zip(gf, gr)), 7)
+
+    out["fused_vs_xla_max_err"] = max(
+        v for k, v in out.items() if k.endswith("max_err"))
+    return {"kernel_parity": out,
+            "fused_vs_xla_max_err": out["fused_vs_xla_max_err"]}
 
 
 def bench_reference_torch(cfg: Config, seed: int = 0) -> float:
@@ -384,6 +532,18 @@ def main():
         pre = {}
 
     try:
+        kp = bench_kernel_parity()
+    except Exception as e:
+        print(f"kernel parity bench failed: {e}", file=sys.stderr)
+        kp = {}
+
+    try:
+        hm = bench_heatmap(cfg)
+    except Exception as e:
+        print(f"heatmap bench failed: {e}", file=sys.stderr)
+        hm = {}
+
+    try:
         t_ref = bench_reference_torch(cfg)
         ref_sps = B / t_ref
         vs = tpu_sps / ref_sps
@@ -400,6 +560,8 @@ def main():
         "baseline_slides_per_sec_torch_host": round(ref_sps, 2) if ref_sps else None,
         **enc,
         **pre,
+        **kp,
+        **hm,
         "device": str(jax.devices()[0]),
     }))
 

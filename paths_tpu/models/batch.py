@@ -59,6 +59,29 @@ class PatchBag:
         assert self.ctx_patch.shape[:3] == (b, n, k), self.ctx_patch.shape
 
 
+def pad_bag(bag: PatchBag, width: int) -> PatchBag:
+    """Zero-pad the patch axis to `width` (mask False on padding).
+
+    Masks are primary and padded rows are inert through every processor
+    op (tests/test_model_parity.py padding-invariance), so this changes
+    shapes only — callers pad to pow-2 buckets to bound the number of
+    compiled programs when bag widths vary per slide (heatmap recursion,
+    serving)."""
+    n = bag.max_patches
+    if width <= n:
+        return bag
+    pad = width - n
+
+    def z(x, axis=1):
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, pad)
+        return jnp.pad(x, w)
+
+    return dataclasses.replace(
+        bag, fts=z(bag.fts), locs=z(bag.locs), mask=z(bag.mask),
+        parent_inds=z(bag.parent_inds), ctx_patch=z(bag.ctx_patch))
+
+
 def initial_bag(fts, locs, mask, ctx_dim, *, parent_inds=None) -> PatchBag:
     """Level-0 bag: empty context stacks, parents default to identity."""
     b, n, _ = fts.shape

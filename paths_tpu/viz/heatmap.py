@@ -15,10 +15,12 @@ import os
 import xml.etree.ElementTree as ET
 from typing import Callable, List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from paths_tpu.config import Config
 from paths_tpu.data.raw_slide import encode_bag, load_raw_slide
+from paths_tpu.models.batch import PatchBag, pad_bag
 from paths_tpu.models.recursive import recursive_apply
 
 
@@ -47,9 +49,15 @@ def parse_camelyon17_anno_file(path: str) -> List[Tuple[list, str]]:
 
 def run_recursion(config: Config, params: dict, encode_fn: Callable,
                   slide_path: str, tissue_threshold: float = 0.025,
-                  camelyon: bool = True, default_power: float = 40.0):
+                  camelyon: bool = True, default_power: float = 40.0,
+                  verbose: bool = True):
     """Hierarchical inference on a raw slide; returns (slides per depth,
-    importances per depth, final logits)."""
+    importances per depth, final logits).
+
+    Each depth's processor apply runs as ONE jitted program over a bag
+    padded to a power-of-two width (`pad_bag`; masks make padding inert):
+    eager per-op dispatch would pay link latency hundreds of times per
+    depth, and exact widths would recompile for every slide."""
     mc = config.model_config
     slide = load_raw_slide(slide_path, config.base_power, mc.patch_size,
                            mc.ctx_dim(), prepatch=False,
@@ -57,24 +65,43 @@ def run_recursion(config: Config, params: dict, encode_fn: Callable,
                            camelyon=camelyon, default_power=default_power)
     slide.load_patches()
 
+    def apply_at(depth):
+        # params as ARGUMENT (constants would bloat the HLO); config and
+        # depth are static python closures
+        return jax.jit(lambda p, b: recursive_apply(p, config, depth, b))
+
+    applies = [apply_at(d) for d in range(config.num_levels)]
+
     slide_depths = [slide]
     imps = []
     out = None
     for depth in range(config.num_levels):
-        print(f" Depth {depth + 1} / {config.num_levels}...")
+        if verbose:
+            print(f" Depth {depth + 1} / {config.num_levels}...")
         bag = encode_bag(slide, encode_fn)
-        out = recursive_apply(params, config, depth, bag)
-        importance = np.asarray(out["importance"][0])
+        n = None
+        if isinstance(bag, PatchBag):    # tests stub the encode seam
+            n = bag.max_patches
+            bag = pad_bag(bag, _pow2_width(n))
+        out = applies[depth](params, bag)
+        importance = np.asarray(out["importance"][0])[:n]
         imps.append(importance)
         if depth != config.num_levels - 1:
             slide = slide.recurse(
                 config.magnification_factor,
                 np.asarray(out["ctx_slide"][0]),
-                np.asarray(out["ctx_patch"][0]),
+                np.asarray(out["ctx_patch"][0])[:n],
                 importance, config.top_k_patches[depth])
             slide.load_patches()
             slide_depths.append(slide)
     return slide_depths, imps, np.asarray(out["logits"])
+
+
+def _pow2_width(n: int, floor: int = 32) -> int:
+    w = floor
+    while w < n:
+        w *= 2
+    return w
 
 
 # Rendering contract shared with the reference output (figure geometry,
@@ -170,7 +197,8 @@ def heatmap_slide(config: Config, params: dict, encode_fn: Callable,
     import matplotlib.pyplot as plt
     from mpl_toolkits.axes_grid1.inset_locator import inset_axes
 
-    assert os.path.isfile(slide_path), f"Couldn't find WSI at '{slide_path}'."
+    # .tiles pyramids are directories, other WSI formats are files
+    assert os.path.exists(slide_path), f"Couldn't find WSI at '{slide_path}'."
     if out_path is not None:
         directory = os.path.dirname(out_path)
         if directory and not os.path.isdir(directory):

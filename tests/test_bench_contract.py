@@ -37,8 +37,49 @@ def test_bench_preprocess_fields():
     expected = {"preprocess_slides_per_hour", "preprocess_patches_per_sec",
                 "preprocess_patches_per_slide", "preprocess_decode_s",
                 "preprocess_h2d_s", "preprocess_encode_exposed_s",
-                "preprocess_total_s", "preprocess_decode_workers",
+                "preprocess_total_s", "preprocess_overlap_efficiency",
+                "preprocess_decode_workers", "preprocess_mp_decode_workers",
+                "preprocess_mp_total_s",
                 "preprocess_pipeline_mfu", "preprocess_native_decode"}
     assert set(r) == expected, r
     assert r["preprocess_patches_per_slide"] > 0
     assert r["preprocess_slides_per_hour"] > 0
+    assert 0.0 < r["preprocess_overlap_efficiency"] <= 1.05
+    # the mp decode fan-out actually ran and produced a number
+    assert r["preprocess_mp_decode_workers"] == 2
+    assert r["preprocess_mp_total_s"] > 0
+
+
+def test_bench_kernel_parity_smoke(monkeypatch):
+    """The on-chip kernel-parity block (VERDICT r3 #1) runs the same code
+    paths on CPU via the Pallas interpreter at tiny shapes; the driver
+    runs it unattended at full shapes on the real chip."""
+    import paths_tpu.kernels.flash_attention as fa
+    from paths_tpu.kernels import vit_fused
+
+    monkeypatch.setattr(vit_fused, "INTERPRET", True)
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    r = bench.bench_kernel_parity(small=True)
+    kp = r["kernel_parity"]
+    for k in ("fused_pair_vs_xla_max_err", "fused1_vs_xla_max_err",
+              "swiglu_vs_xla_max_err", "flash_fwd_vs_xla_max_err",
+              "flash_bwd_vs_xla_max_err"):
+        assert k in kp, kp
+    # interpreter == same f32 math: errors must be tiny
+    assert r["fused_vs_xla_max_err"] < 1e-3, kp
+
+
+def test_bench_heatmap_smoke():
+    """The heatmap workload block end to end (tiled-JPEG write, raw-slide
+    recursion, PDF) on a tiny config + small encoder."""
+    from paths_tpu.config import Config, PATHSProcessorConfig
+
+    mc = PATHSProcessorConfig(patch_embed_dim=384, trans_dim=8, trans_heads=2,
+                              trans_layers=1, importance_mlp_hidden_dim=8,
+                              hierarchical_ctx_mlp_hidden_dim=8,
+                              pos_encoding_mode="2d", patch_size=256)
+    cfg = Config(model_config=mc, num_levels=2, top_k_patches=2, nbins=2,
+                 base_power=5.0)
+    r = bench.bench_heatmap(cfg, grid_hw=(2, 2), encoder="kaiko-vits16",
+                            runs=1)
+    assert set(r) == {"heatmap_slide_s"} and r["heatmap_slide_s"] > 0
