@@ -1,0 +1,135 @@
+"""Flagship dress rehearsal: the reproducible held-out learning proof.
+
+    python examples/flagship_dress_rehearsal.py [--workdir DIR] [--record]
+
+Reproduces, with one command and fixed seeds, the flagship-scale
+generalization record (docs/ARCHITECTURE.md perf table): the full
+brca_paths_0 model (UNI 1024-d features, trans_dim 128, 4 heads, 2+2
+layers, 5 levels at 0.625x..10x, top-K 20, LSTM ctx, 2D PE —
+`models/brca_paths_0/config.json`, mirroring the reference's shipped
+`models/brca_paths_0` artifact) trained END TO END through `cli.train`
+on 48 synthetic BRCA-shaped slides whose features carry a latent risk
+signal (`make_signal_store`) from which the survival labels derive
+(`make_signal_metadata`). Training must recover that feature->survival
+mapping on HELD-OUT slides: the committed record under
+`examples/records/flagship_dress_rehearsal/` shows val/test c-index far
+above chance. This is the closest in-sandbox proxy for the
+network-blocked real-TCGA validation (BASELINE.md north star; the
+reference's own shipped proof is `models/brca_paths_0/train_stats.pkl`,
+train c-index 0.9712 — no val split).
+
+Recipe notes (why these overrides of the flagship config):
+- `engine="streaming"`: tables stay host-side, ~12 MB/batch crosses the
+  link instead of ~2 GB — required on this dev host (30 MB/s tunnel +
+  the axon client's per-transfer host-RAM leak, see CLAUDE.md); on a
+  PCIe host `engine="auto"` picks fused and the run is much faster.
+- lr 5e-4 (not the flagship 2e-5): 28 train slides for 40 epochs is
+  ~1/30th the optimizer steps of the real 40-epoch x ~700-slide BRCA
+  run; the higher lr compensates so the signal is learnable in-budget.
+- batch 12: 28 train slides -> 3 steps/epoch with a short tail.
+
+Runs on one TPU chip or CPU. ~11 min on the dev host's chip once
+programs are cached (first compile of the 5-level streaming step is
+slow on the tunneled compiler).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RECORD_DIR = os.path.join(REPO, "examples", "records",
+                          "flagship_dress_rehearsal")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/paths_tpu_dress_rehearsal")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--slides", type=int, default=48)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--record", action="store_true",
+                    help="copy the run record into examples/records/")
+    args = ap.parse_args()
+
+    from paths_tpu.config import Config
+    from paths_tpu.data.synthetic import make_signal_metadata, make_signal_store
+
+    wd = args.workdir
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd)
+
+    cfg = Config.load(os.path.join(REPO, "models", "brca_paths_0"),
+                      test_mode=True)
+    cfg.csv_path = os.path.join(wd, "meta.csv.zip")
+    cfg.preprocess_dir = os.path.join(wd, "store")
+    cfg.wsi_dir = os.path.join(wd, "brca")
+    cfg.hipt_splits = False          # synthetic slides: random 0.7/0.15/0.15
+    cfg.seed = args.seed
+    cfg.num_epochs = args.epochs
+    cfg.batch_size = [12]
+    cfg.lr = 5e-4
+    cfg.engine = "streaming"
+
+    print(f"== 1/4 synthesize {args.slides} BRCA-shaped signal slides "
+          f"(1024-d, 5 levels, seed {args.seed})")
+    t0 = time.time()
+    ids, z = make_signal_store(cfg.preprocess_dir, cfg,
+                               num_slides=args.slides, seed=args.seed)
+    make_signal_metadata(cfg.csv_path, ids, z, seed=args.seed)
+    print(f"   store built in {time.time() - t0:.0f}s")
+
+    mdir = os.path.join(wd, "model")
+    os.makedirs(mdir)
+    cfg.save(mdir)
+
+    print(f"== 2/4 train {args.epochs} epochs via cli.train "
+          f"(streaming engine, batch 12, lr 5e-4)")
+    t0 = time.time()
+    from paths_tpu.cli.train import main as train
+
+    train(["-m", mdir, "--no-wandb"])
+    train_wall = time.time() - t0
+    print(f"   trained in {train_wall:.0f}s")
+
+    print("== 3/4 evaluate the held-out test split")
+    from paths_tpu.cli.evaluate import main as evaluate
+
+    test_metrics = evaluate(["-m", mdir, "--split", "test"])
+
+    stats = json.load(open(os.path.join(mdir, "train_stats.json")))
+    last = max(int(k) for k in stats["train_loss"])
+    summary = {
+        "epochs": args.epochs, "slides": args.slides, "seed": args.seed,
+        "train_wall_s": round(train_wall, 1),
+        "final_train_loss": stats["train_loss"][str(last)]
+        if str(last) in stats["train_loss"] else stats["train_loss"][last],
+        "final_train_c_index": stats["train_c-index"][str(last)]
+        if str(last) in stats["train_c-index"] else stats["train_c-index"][last],
+        "val_c_index_history": stats.get("val_c-index"),
+        "test_metrics": test_metrics,
+        "backend": __import__("jax").default_backend(),
+        "command": "python examples/flagship_dress_rehearsal.py --record",
+    }
+    print("== 4/4 summary")
+    print(json.dumps(summary, indent=2))
+
+    if args.record:
+        os.makedirs(RECORD_DIR, exist_ok=True)
+        for f in ("config.json", "train_stats.json", "metrics.jsonl"):
+            shutil.copy(os.path.join(mdir, f), os.path.join(RECORD_DIR, f))
+        with open(os.path.join(RECORD_DIR, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+            f.write("\n")
+        print(f"record written to {RECORD_DIR}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -119,3 +119,36 @@ def test_brca_paths_0_mirror():
     bcfg = bench.flagship_config("/tmp/paths_tpu_assets_test")
     assert bcfg.model_config.trans_dim == 128
     assert bcfg.num_levels == 5
+
+
+def test_dress_rehearsal_record():
+    """The committed flagship dress-rehearsal record (VERDICT r3 #5):
+    `examples/flagship_dress_rehearsal.py --record` must have produced a
+    self-consistent artifact proving held-out generalization at flagship
+    scale — config is the brca_paths_0 mirror with the documented
+    recipe overrides, metrics.jsonl covers every epoch, and the recorded
+    val/test c-index clear the VERDICT-r3 learning bar (>= 0.80)."""
+    import json
+
+    root = os.path.join(REPO, "examples", "records",
+                        "flagship_dress_rehearsal")
+    cfg = Config.load(root, test_mode=True)
+    assert cfg.engine == "streaming" and cfg.num_epochs == 40
+    assert cfg.model_config.patch_embed_dim == 1024
+    assert cfg.model_config.trans_dim == 128 and cfg.model_config.lstm
+
+    with open(os.path.join(root, "summary.json")) as f:
+        summary = json.load(f)
+    with open(os.path.join(root, "train_stats.json")) as f:
+        stats = json.load(f)
+    epochs = cfg.num_epochs
+    assert stats["epoch"] == epochs
+    # training converged and generalized to held-out slides
+    assert stats["train_loss"][str(epochs)] < stats["train_loss"]["1"]
+    assert summary["final_train_loss"] == stats["train_loss"][str(epochs)]
+    assert stats["val_c-index"][str(epochs)] >= 0.80
+    assert summary["test_metrics"]["test_c-index"] >= 0.80
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(root, "metrics.jsonl")).read().splitlines()]
+    assert len(lines) >= epochs and "train_loss" in lines[0]
