@@ -55,9 +55,15 @@ def main():
     from paths_tpu.parallel.mesh import replicate, shard_train_batch
     from paths_tpu.train.loop import make_optimizer, make_step_fns
 
-    # identical on both processes (seeded synthesis)
+    # identical on both processes (seeded synthesis). Shrunk model widths:
+    # this test's coverage is the cross-process gloo collectives and the
+    # production staging path, which are width-independent — flagship dims
+    # only inflate the per-worker CPU compile (~2x suite-dominating cost)
     cfg, params_h, bag0_h, tables_h, labels_h = g._flagship(
-        num_levels=3, level0_hw=(2, 3), b=8)
+        num_levels=3, level0_hw=(2, 3), b=8,
+        model_overrides=dict(patch_embed_dim=64, trans_dim=16, trans_heads=2,
+                             trans_layers=1, importance_mlp_hidden_dim=16,
+                             hierarchical_ctx_mlp_hidden_dim=32))
     mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
 
     def to_global(tree, spec):

@@ -28,25 +28,41 @@ def _save_mirror_sd(tmp_path, mirror, name="w.pt"):
     return p
 
 
-def test_uni_full_depth(tmp_path):
+def _verify_full_depth(spec, seed):
+    """Full-depth conversion parity at a reduced img_size: the conversion
+    under test is depth/width/layout-dependent (block count, LayerScale,
+    SwiGLU lane padding, register tokens, pooling), not
+    resolution-dependent — shrinking the token count cuts the 1-core
+    torch-oracle forward ~10x. The CLI `run()` path at a real 224px spec
+    stays covered by test_cli_entry."""
+    import dataclasses
+
+    small = dataclasses.replace(spec, img_size=4 * spec.patch_size)
+    mirror = timm_vit_mirror(small).eval()
+    sd = {k: v.detach().numpy() for k, v in mirror.state_dict().items()}
+    rng = np.random.default_rng(seed)
+    imgs = rng.uniform(-1.5, 1.5, (1, small.img_size, small.img_size,
+                                   3)).astype(np.float32)
+    return verify_vit("full_depth", sd, imgs, spec=small)
+
+
+def test_uni_full_depth():
     """Full 24-block ViT-L with LayerScale — the UNI layout
     (`/root/reference/model/image_encoder.py:36-41`)."""
     torch.manual_seed(0)
-    path = _save_mirror_sd(tmp_path, timm_vit_mirror(UNI))
-    res = run("UNI", path, n_images=1, tol=1e-3)
-    assert res["ok"], (res["max_abs"], res["max_rel"])
+    res = _verify_full_depth(UNI, seed=0)
+    assert res["max_abs"] < 1e-3, (res["max_abs"], res["max_rel"])
     assert res["pos_layout"] == "cls"
     assert res["out_jax"].shape == (1, 1024)
 
 
-def test_virchow2_full_depth_swiglu_padding(tmp_path):
+def test_virchow2_full_depth_swiglu_padding():
     """Full 32-block ViT-H: SwiGLU packed fc1 with the 6832 -> 6912
     lane-padding, 4 register tokens, cls+mean pool
     (`image_encoder.py:13-27,43-48`)."""
     torch.manual_seed(1)
-    path = _save_mirror_sd(tmp_path, timm_vit_mirror(VIRCHOW2))
-    res = run("Virchow2", path, n_images=1, tol=1e-3)
-    assert res["ok"], (res["max_abs"], res["max_rel"])
+    res = _verify_full_depth(VIRCHOW2, seed=1)
+    assert res["max_abs"] < 1e-3, (res["max_abs"], res["max_rel"])
     assert res["out_jax"].shape == (1, 2560)   # cls || mean concat
 
 
