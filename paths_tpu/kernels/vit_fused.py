@@ -51,15 +51,24 @@ def _erf(x):
 
 
 def _dot(lhs, rhs, dimension_numbers, preferred_element_type=jnp.float32):
-    """dot_general with the contraction precision PINNED to DEFAULT:
-    callers may run under `jax_default_matmul_precision=highest` (the f32
-    parity mode), and Mosaic rejects bf16 operands with an fp32 contract
-    precision ("Bad lhs type"). These kernels accumulate in f32 via
-    preferred_element_type regardless, so DEFAULT is exactly right."""
+    """dot_general with the contraction precision pinned BY OPERAND DTYPE
+    (not inherited from the ambient config):
+
+    - bf16 operands (the production path) use DEFAULT — the MXU's native
+      bf16 pass; Mosaic rejects an fp32 contract on bf16 operands ("Bad
+      lhs type"), so an ambient `jax_default_matmul_precision=highest`
+      must not leak in. f32 accumulation via preferred_element_type.
+    - f32 operands (the parity mode) use HIGHEST: on v5e, a DEFAULT f32
+      contraction silently runs a single bf16 pass (~5e-4 rel error,
+      measured on-chip) — invisible on LayerScale'd specs (UNI's 1e-5
+      init shrinks each block's contribution) but exposed by Virchow2's
+      un-scaled SwiGLU blocks in the BENCH kernel_parity block."""
+    precision = (jax.lax.Precision.HIGHEST
+                 if lhs.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(
         lhs, rhs, dimension_numbers,
         preferred_element_type=preferred_element_type,
-        precision=jax.lax.Precision.DEFAULT)
+        precision=precision)
 
 
 def _layernorm(x, scale, bias, eps=1e-6):
