@@ -225,11 +225,31 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
         return np.zeros((n, dim), np.float32)
 
     # decode-only wall (no H2D staging, no encode); the transfer wall is
-    # the staging thread's busy time from the FULL run (h2d_busy). The
-    # H2D runs on a dedicated thread overlapping decode, so the honest
-    # lower bound on the wall is max(decode, H2D), not the sum —
-    # overlap_efficiency reports how close the run gets to it.
+    # the staging thread's busy time from the FULL run (h2d_busy) — but on
+    # links where device_put completes ASYNCHRONOUSLY (the dev tunnel)
+    # that is only the enqueue cost, so the true wire time is estimated as
+    # shipped_bytes / link_rate, with the rate probed by a BLOCKING put of
+    # one representative patch batch (content matters: the tunnel
+    # compresses, so random bytes ship ~3x slower than H&E-like texture).
+    # The honest lower bound on the wall is max(decode, wire), not the
+    # sum — overlap_efficiency reports how close the run gets to it.
     t_decode = min(run(null_encode, stage_h2d=False)[0] for _ in range(2))
+
+    def probe_link_rate():
+        probe = np.ascontiguousarray(
+            np.stack([make_synthetic_slide((1, 1), seed=s)[None, :256, :256]
+                      for s in range(batch_size)]).reshape(batch_size,
+                                                           256, 256, 3))
+        f = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+        float(f(jax.device_put(probe[:8])))     # compile small
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(jax.device_put(probe)))     # fetch gates on all bytes
+            best = max(best, probe.nbytes / (time.perf_counter() - t0))
+        return best
+
+    link_rate = probe_link_rate()
 
     # measured -w path: same workload with 2 decode processes feeding
     # the parent (reference -w shape). One trial: on this 1-core host
@@ -240,6 +260,8 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
     t_mp = run(encode, decode_workers=mp_workers)[0] if mp_workers else None
 
     shutil.rmtree(slide_dir, ignore_errors=True)
+    h2d_mb = st.get("h2d_bytes", 0) / 1e6 / n_slides
+    t_wire = h2d_mb * 1e6 / link_rate if link_rate else 0.0
     t_full, t_decode, h2d_busy = (t / n_slides
                                   for t in (t_full, t_decode, h2d_busy))
     patches //= n_slides
@@ -248,18 +270,24 @@ def bench_preprocess(grid_hw=(32, 40), batch_size: int = 256,
     peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
                 None)
     pps = patches / t_full
-    floor = max(t_decode, h2d_busy)
+    # wire floor: max of the blocking-put time actually observed and the
+    # shipped-bytes / probed-link-rate estimate (async-put links hide the
+    # wire inside the encode wait, so h2d_busy alone understates it)
+    t_h2d = max(h2d_busy, t_wire)
+    floor = max(t_decode, t_h2d)
     return {
         "preprocess_slides_per_hour": round(3600.0 / t_full, 1),
         "preprocess_patches_per_sec": round(pps, 1),
         "preprocess_patches_per_slide": patches,
         "preprocess_decode_s": round(t_decode, 2),
-        "preprocess_h2d_s": round(h2d_busy, 2),
+        "preprocess_h2d_s": round(t_h2d, 2),
+        "preprocess_h2d_mb": round(h2d_mb, 1),
+        "preprocess_link_mbps": round(link_rate / 1e6, 1),
         "preprocess_encode_exposed_s": round(max(t_full - floor, 0.0), 2),
         "preprocess_total_s": round(t_full, 2),
-        # 1.0 = wall equals the max(decode, H2D) floor (perfect overlap);
+        # 1.0 = wall equals the max(decode, wire) floor (perfect overlap);
         # the pre-overlap pipeline sat at floor/(decode+H2D) ~ 0.64
-        "preprocess_overlap_efficiency": round(floor / t_full, 3)
+        "preprocess_overlap_efficiency": round(min(floor / t_full, 1.0), 3)
         if t_full else None,
         "preprocess_decode_workers": 0,   # single producer (1-core host)
         "preprocess_mp_decode_workers": mp_workers or None,

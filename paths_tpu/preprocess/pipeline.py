@@ -97,12 +97,15 @@ class _AsyncStager:
         # the pure-transfer wall the overlap hides (bench reads it via
         # `process_slides(stats=...)`). Measures the BLOCKING portion of
         # device_put; on links where puts complete asynchronously this
-        # is a lower bound.
+        # is a lower bound — pair it with `bytes_staged` and a measured
+        # link rate for the true wire floor (bench_preprocess does).
         self.busy_s = 0.0
+        self.bytes_staged = 0
 
     def _run(self, arr):
         import time
 
+        self.bytes_staged += arr.nbytes
         t0 = time.perf_counter()
         try:
             return self._fn(arr)
@@ -657,4 +660,5 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
         if stager is not None:
             if stats is not None:
                 stats["h2d_busy_s"] = stager.busy_s
+                stats["h2d_bytes"] = stager.bytes_staged
             stager.shutdown()
