@@ -221,3 +221,30 @@ def test_fused1_single_kernel_block_matches_xla(monkeypatch):
     r = _block(blk, x, p["spec"].value, jnp.float32, "xla")
     g = vit_fused.fused_block(x, blk, num_heads=2, num_chunks=4)
     np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=3e-5)
+
+
+def test_fused_dot_precision_pinned_by_dtype():
+    """Regression guard for the on-chip f32 precision fix: the fused
+    kernels' contractions must run HIGHEST for f32 operands (on v5e a
+    DEFAULT f32 dot silently executes a single bf16 pass, ~5e-4 rel
+    error — caught by BENCH's kernel_parity block) and DEFAULT for bf16
+    operands (Mosaic rejects an fp32 contract on bf16 — "Bad lhs type").
+    Asserted at trace level so it holds on any backend."""
+    import jax
+    from jax import lax
+
+    from paths_tpu.kernels.vit_fused import _dot
+
+    def dot_precisions(dtype):
+        f = lambda a, b: _dot(a, b, (((1,), (0,)), ((), ())))
+        jaxpr = jax.make_jaxpr(f)(jnp.zeros((8, 16), dtype),
+                                  jnp.zeros((16, 8), dtype))
+        return [e.params["precision"] for e in jaxpr.jaxpr.eqns
+                if e.primitive.name == "dot_general"]
+
+    assert all(p == (lax.Precision.HIGHEST,) * 2
+               for p in dot_precisions(jnp.float32)), \
+        dot_precisions(jnp.float32)
+    assert all(p == (lax.Precision.DEFAULT,) * 2
+               for p in dot_precisions(jnp.bfloat16)), \
+        dot_precisions(jnp.bfloat16)
