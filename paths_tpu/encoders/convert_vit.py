@@ -27,59 +27,66 @@ def _convert_mlp(g, p: str, spec: ViTSpec) -> dict:
     """MLP weights, transposed to (in, out). SwiGLU hidden dims pad with
     zeros to spec.mlp_hidden_padded (lane-aligned for the fused kernel;
     numerically exact — see ViTSpec.mlp_hidden_padded). The packed fc1's
-    gate and value halves pad independently."""
+    gate and value halves pad independently. Leaves stay NUMPY; the
+    caller ships the whole tree with one batched device_put (per-array
+    puts cost ~40 ms EACH of fixed dispatch overhead — 16 s of the old
+    30 s Virchow2 conversion). Padding writes into preallocated zeros
+    instead of concatenating strided views."""
     fc1_w, fc1_b = g(f"{p}.mlp.fc1.weight").T, g(f"{p}.mlp.fc1.bias")
     fc2_w, fc2_b = g(f"{p}.mlp.fc2.weight").T, g(f"{p}.mlp.fc2.bias")
     h, hp = spec.mlp_hidden, spec.mlp_hidden_padded
     if spec.swiglu and hp != h:
-        pad_w = np.zeros((fc1_w.shape[0], hp - h), fc1_w.dtype)
-        pad_b = np.zeros((hp - h,), fc1_b.dtype)
-        fc1_w = np.concatenate(
-            [fc1_w[:, :h], pad_w, fc1_w[:, h:], pad_w], axis=1)
-        fc1_b = np.concatenate([fc1_b[:h], pad_b, fc1_b[h:], pad_b])
-        fc2_w = np.concatenate(
-            [fc2_w, np.zeros((hp - h, fc2_w.shape[1]), fc2_w.dtype)], axis=0)
-    return {"fc1_w": jnp.asarray(fc1_w), "fc1_b": jnp.asarray(fc1_b),
-            "fc2_w": jnp.asarray(fc2_w), "fc2_b": jnp.asarray(fc2_b)}
+        w1 = np.zeros((fc1_w.shape[0], 2 * hp), fc1_w.dtype)
+        w1[:, :h], w1[:, hp:hp + h] = fc1_w[:, :h], fc1_w[:, h:]
+        b1 = np.zeros((2 * hp,), fc1_b.dtype)
+        b1[:h], b1[hp:hp + h] = fc1_b[:h], fc1_b[h:]
+        w2 = np.zeros((hp, fc2_w.shape[1]), fc2_w.dtype)
+        w2[:h] = fc2_w
+        fc1_w, fc1_b, fc2_w = w1, b1, w2
+    return {"fc1_w": fc1_w, "fc1_b": fc1_b, "fc2_w": fc2_w, "fc2_b": fc2_b}
 
 
 def vit_from_timm(sd: Mapping[str, np.ndarray], spec: ViTSpec) -> dict:
+    import jax
+
     g = lambda k: np.asarray(sd[k])
     params = {
         "spec": Static(spec),
         "patch_embed": {
-            "w": jnp.asarray(g("patch_embed.proj.weight").transpose(2, 3, 1, 0)),
-            "b": jnp.asarray(g("patch_embed.proj.bias")),
+            "w": g("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+            "b": g("patch_embed.proj.bias"),
         },
-        "cls_token": jnp.asarray(g("cls_token").reshape(-1)),
-        "pos_embed": jnp.asarray(g("pos_embed")[0]),
-        "norm": {"scale": jnp.asarray(g("norm.weight")),
-                 "bias": jnp.asarray(g("norm.bias"))},
+        "cls_token": g("cls_token").reshape(-1),
+        "pos_embed": g("pos_embed")[0],
+        "norm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
         "blocks": [],
     }
     if spec.num_reg_tokens:
-        params["reg_tokens"] = jnp.asarray(g("reg_token")[0])
+        params["reg_tokens"] = g("reg_token")[0]
 
     for i in range(spec.depth):
         p = f"blocks.{i}"
         blk = {
-            "norm1": {"scale": jnp.asarray(g(f"{p}.norm1.weight")),
-                      "bias": jnp.asarray(g(f"{p}.norm1.bias"))},
+            "norm1": {"scale": g(f"{p}.norm1.weight"),
+                      "bias": g(f"{p}.norm1.bias")},
             "attn": {
-                "qkv_w": jnp.asarray(g(f"{p}.attn.qkv.weight").T),
-                "qkv_b": jnp.asarray(g(f"{p}.attn.qkv.bias")),
-                "proj_w": jnp.asarray(g(f"{p}.attn.proj.weight").T),
-                "proj_b": jnp.asarray(g(f"{p}.attn.proj.bias")),
+                "qkv_w": g(f"{p}.attn.qkv.weight").T,
+                "qkv_b": g(f"{p}.attn.qkv.bias"),
+                "proj_w": g(f"{p}.attn.proj.weight").T,
+                "proj_b": g(f"{p}.attn.proj.bias"),
             },
-            "norm2": {"scale": jnp.asarray(g(f"{p}.norm2.weight")),
-                      "bias": jnp.asarray(g(f"{p}.norm2.bias"))},
+            "norm2": {"scale": g(f"{p}.norm2.weight"),
+                      "bias": g(f"{p}.norm2.bias")},
             "mlp": _convert_mlp(g, p, spec),
         }
         if spec.layer_scale:
-            blk["ls1"] = jnp.asarray(g(f"{p}.ls1.gamma"))
-            blk["ls2"] = jnp.asarray(g(f"{p}.ls2.gamma"))
+            blk["ls1"] = g(f"{p}.ls1.gamma")
+            blk["ls2"] = g(f"{p}.ls2.gamma")
         params["blocks"].append(blk)
-    return params
+    # ONE batched transfer for the ~400 leaves: per-array device_put pays
+    # a fixed ~40 ms dispatch cost each (measured: 16 s of a 30 s ViT-H
+    # conversion); Static(spec) has no pytree children so it rides along
+    return jax.device_put(params)
 
 
 def vit_from_torch_file(path: str, spec: ViTSpec) -> dict:

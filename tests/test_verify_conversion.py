@@ -28,16 +28,22 @@ def _save_mirror_sd(tmp_path, mirror, name="w.pt"):
     return p
 
 
-def _verify_full_depth(spec, seed):
+def _verify_full_depth(spec, seed, **shrink):
     """Full-depth conversion parity at a reduced img_size: the conversion
-    under test is depth/width/layout-dependent (block count, LayerScale,
+    under test is depth/layout-dependent (block count, LayerScale,
     SwiGLU lane padding, register tokens, pooling), not
     resolution-dependent — shrinking the token count cuts the 1-core
     torch-oracle forward ~10x. The CLI `run()` path at a real 224px spec
-    stays covered by test_cli_entry."""
+    stays covered by test_cli_entry; REAL widths run on-chip every round
+    via bench.py's kernel_parity block and the UNI/Virchow2 encoder
+    benches. (`shrink` may narrow embed_dim too: ViT-H at full width is
+    ~2.5 GB of weights that this host's CPU backend stages at a
+    live-bytes-degraded rate — measured 70 MB/put-second at ~10 GB
+    resident — pure test overhead, no conversion-logic coverage.)"""
     import dataclasses
 
-    small = dataclasses.replace(spec, img_size=4 * spec.patch_size)
+    small = dataclasses.replace(spec, img_size=4 * spec.patch_size,
+                                **shrink)
     mirror = timm_vit_mirror(small).eval()
     sd = {k: v.detach().numpy() for k, v in mirror.state_dict().items()}
     rng = np.random.default_rng(seed)
@@ -57,13 +63,16 @@ def test_uni_full_depth():
 
 
 def test_virchow2_full_depth_swiglu_padding():
-    """Full 32-block ViT-H: SwiGLU packed fc1 with the 6832 -> 6912
-    lane-padding, 4 register tokens, cls+mean pool
-    (`image_encoder.py:13-27,43-48`)."""
+    """Full 32-block Virchow2 layout: SwiGLU packed fc1 with non-lane
+    hidden padding, 4 register tokens, cls+mean pool
+    (`image_encoder.py:13-27,43-48`). Width narrowed 1280 -> 256 (the
+    real ratio 5.3375 still yields a non-multiple-of-128 hidden,
+    1366 -> 1408 padded, so the packed gate/value padding logic is
+    exercised exactly as at 6832 -> 6912)."""
     torch.manual_seed(1)
-    res = _verify_full_depth(VIRCHOW2, seed=1)
+    res = _verify_full_depth(VIRCHOW2, seed=1, embed_dim=256, num_heads=4)
     assert res["max_abs"] < 1e-3, (res["max_abs"], res["max_rel"])
-    assert res["out_jax"].shape == (1, 2560)   # cls || mean concat
+    assert res["out_jax"].shape == (1, 512)   # cls || mean concat
 
 
 SMALL = ViTSpec(img_size=32, patch_size=8, embed_dim=24, depth=3,
