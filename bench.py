@@ -421,6 +421,23 @@ def bench_kernel_parity(small: bool = False) -> dict:
         out["flash_bwd_vs_xla_max_err"] = round(
             max(err(a, r) for a, r in zip(gf, gr)), 7)
 
+    # the PRODUCTION dtype: fused bf16 vs XLA bf16 on the same inputs —
+    # both sides round through bf16, so the residual is op-ordering only;
+    # a Mosaic lowering bug in the bf16 program (the one encoders actually
+    # run) would blow well past the ~1e-2 rel band this reports
+    for name, spec in [("fused_bf16", gelu_spec), ("swiglu_bf16", swi_spec)]:
+        params = vit_init(jax.random.PRNGKey(3), spec)
+        s = spec.img_size
+        imgs_b = jax.device_put(jnp.asarray(
+            rng.uniform(size=(4, s, s, 3)).astype(np.float32)))
+        ref = np.asarray(vit_apply(params, imgs_b,
+                                   compute_dtype=jnp.bfloat16,
+                                   attn_impl="xla"), np.float32)
+        got = vit_apply(params, imgs_b, compute_dtype=jnp.bfloat16,
+                        attn_impl="fused")
+        out[f"{name}_vs_xla_rel_err"] = round(
+            err(got, ref) / max(float(np.abs(ref).max()), 1e-6), 7)
+
     out["fused_vs_xla_max_err"] = max(
         v for k, v in out.items() if k.endswith("max_err"))
     return {"kernel_parity": out,

@@ -65,10 +65,14 @@ def test_bench_kernel_parity_smoke(monkeypatch):
     kp = r["kernel_parity"]
     for k in ("fused_pair_vs_xla_max_err", "fused1_vs_xla_max_err",
               "swiglu_vs_xla_max_err", "flash_fwd_vs_xla_max_err",
-              "flash_bwd_vs_xla_max_err"):
+              "flash_bwd_vs_xla_max_err", "fused_bf16_vs_xla_rel_err",
+              "swiglu_bf16_vs_xla_rel_err"):
         assert k in kp, kp
     # interpreter == same f32 math: errors must be tiny
     assert r["fused_vs_xla_max_err"] < 1e-3, kp
+    # bf16 production path: both sides round through bf16, op order only
+    assert kp["fused_bf16_vs_xla_rel_err"] < 2e-2, kp
+    assert kp["swiglu_bf16_vs_xla_rel_err"] < 2e-2, kp
 
 
 def test_bench_heatmap_smoke():
