@@ -1,6 +1,16 @@
 """Flagship dress rehearsal: the reproducible held-out learning proof.
 
-    python examples/flagship_dress_rehearsal.py [--workdir DIR] [--record]
+    python examples/flagship_dress_rehearsal.py [--record] [--task subtype]
+
+`--task subtype` runs the same rehearsal for the classification task
+(IDC vs ILC labels noisily thresholded from the same latent signal,
+reference `data_utils/dataset.py:58-68` semantics; reports AUC) into
+`examples/records/flagship_dress_rehearsal_subtype/`. The subtype run
+defaults to 80 slides and label_noise 0.25: AUC on the small held-out
+splits is pair-counting, so a single noise-flipped label in a 7-slide
+val set caps AUC at 0.6 regardless of the model — larger splits and
+lower label noise raise the label ceiling (val 1.0 / test 0.94 at
+seed 0) so the proof measures the model, not the labels.
 
 Reproduces, with one command and fixed seeds, the flagship-scale
 generalization record (docs/ARCHITECTURE.md perf table): the full
@@ -44,15 +54,23 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-RECORD_DIR = os.path.join(REPO, "examples", "records",
-                          "flagship_dress_rehearsal")
+
+def record_dir(task: str) -> str:
+    name = ("flagship_dress_rehearsal" if task == "survival"
+            else "flagship_dress_rehearsal_subtype")
+    return os.path.join(REPO, "examples", "records", name)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/paths_tpu_dress_rehearsal")
+    ap.add_argument("--task", choices=["survival", "subtype"],
+                    default="survival",
+                    help="subtype: IDC-vs-ILC classification labels derived "
+                         "from the same latent signal (reports AUC)")
     ap.add_argument("--epochs", type=int, default=40)
-    ap.add_argument("--slides", type=int, default=48)
+    ap.add_argument("--slides", type=int, default=None,
+                    help="default 48 (survival) / 80 (subtype)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--record", action="store_true",
                     help="copy the run record into examples/records/")
@@ -64,6 +82,9 @@ def main():
     wd = args.workdir
     shutil.rmtree(wd, ignore_errors=True)
     os.makedirs(wd)
+    subtype = args.task == "subtype"
+    if args.slides is None:
+        args.slides = 80 if subtype else 48
 
     cfg = Config.load(os.path.join(REPO, "models", "brca_paths_0"),
                       test_mode=True)
@@ -76,13 +97,18 @@ def main():
     cfg.batch_size = [12]
     cfg.lr = 5e-4
     cfg.engine = "streaming"
+    if subtype:
+        cfg.task = "subtype_classification"
+        cfg.filter_to_subtypes = ["IDC", "ILC"]
 
     print(f"== 1/4 synthesize {args.slides} BRCA-shaped signal slides "
-          f"(1024-d, 5 levels, seed {args.seed})")
+          f"(1024-d, 5 levels, seed {args.seed}, task {cfg.task})")
     t0 = time.time()
     ids, z = make_signal_store(cfg.preprocess_dir, cfg,
                                num_slides=args.slides, seed=args.seed)
-    make_signal_metadata(cfg.csv_path, ids, z, seed=args.seed)
+    make_signal_metadata(cfg.csv_path, ids, z, seed=args.seed,
+                         subtypes=["IDC", "ILC"] if subtype else None,
+                         label_noise=0.25)
     print(f"   store built in {time.time() - t0:.0f}s")
 
     mdir = os.path.join(wd, "model")
@@ -104,30 +130,32 @@ def main():
     test_metrics = evaluate(["-m", mdir, "--split", "test"])
 
     stats = json.load(open(os.path.join(mdir, "train_stats.json")))
-    last = max(int(k) for k in stats["train_loss"])
+    last = str(max(int(k) for k in stats["train_loss"]))
+    metric = "AUC" if subtype else "c-index"
     summary = {
+        "task": cfg.task,
         "epochs": args.epochs, "slides": args.slides, "seed": args.seed,
         "train_wall_s": round(train_wall, 1),
-        "final_train_loss": stats["train_loss"][str(last)]
-        if str(last) in stats["train_loss"] else stats["train_loss"][last],
-        "final_train_c_index": stats["train_c-index"][str(last)]
-        if str(last) in stats["train_c-index"] else stats["train_c-index"][last],
-        "val_c_index_history": stats.get("val_c-index"),
+        "final_train_loss": stats["train_loss"][last],
+        f"final_train_{metric}": stats[f"train_{metric}"][last],
+        f"val_{metric}_history": stats.get(f"val_{metric}"),
         "test_metrics": test_metrics,
         "backend": __import__("jax").default_backend(),
-        "command": "python examples/flagship_dress_rehearsal.py --record",
+        "command": ("python examples/flagship_dress_rehearsal.py --record"
+                    + (" --task subtype" if subtype else "")),
     }
     print("== 4/4 summary")
     print(json.dumps(summary, indent=2))
 
     if args.record:
-        os.makedirs(RECORD_DIR, exist_ok=True)
+        rdir = record_dir(args.task)
+        os.makedirs(rdir, exist_ok=True)
         for f in ("config.json", "train_stats.json", "metrics.jsonl"):
-            shutil.copy(os.path.join(mdir, f), os.path.join(RECORD_DIR, f))
-        with open(os.path.join(RECORD_DIR, "summary.json"), "w") as f:
+            shutil.copy(os.path.join(mdir, f), os.path.join(rdir, f))
+        with open(os.path.join(rdir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
             f.write("\n")
-        print(f"record written to {RECORD_DIR}")
+        print(f"record written to {rdir}")
     return summary
 
 

@@ -51,6 +51,17 @@ def make_synthetic_store(root: str, config: Config, num_slides: int,
     return ids
 
 
+def signal_direction_z(rng: np.random.Generator, d: int, num_slides: int):
+    """The (feature direction, standardized latent risk z) draw shared by
+    `make_signal_store` and tests that need the exact z a store run would
+    produce (e.g. label-ceiling checks) without building the grids."""
+    direction = rng.normal(size=d).astype(np.float32)
+    direction /= np.linalg.norm(direction)
+    z = rng.normal(size=num_slides).astype(np.float32)
+    z = (z - z.mean()) / max(z.std(), 1e-6)
+    return direction, z
+
+
 def make_signal_store(root: str, config: Config, num_slides: int,
                       base_hw=(6, 8), seed: int = 0,
                       tissue_fraction: float = 0.5,
@@ -66,10 +77,7 @@ def make_signal_store(root: str, config: Config, num_slides: int,
     store = FeatureStore(root, create=True)
     rng = np.random.default_rng(seed)
     d = config.model_config.patch_embed_dim
-    direction = rng.normal(size=d).astype(np.float32)
-    direction /= np.linalg.norm(direction)
-    z = rng.normal(size=num_slides).astype(np.float32)
-    z = (z - z.mean()) / max(z.std(), 1e-6)
+    direction, z = signal_direction_z(rng, d, num_slides)
     ids = []
     for i in range(num_slides):
         sid = f"SYN-{i:04d}-01Z-00"
@@ -88,13 +96,17 @@ def make_signal_store(root: str, config: Config, num_slides: int,
 def make_signal_metadata(csv_path: str, slide_ids: Sequence[str],
                          z: np.ndarray, seed: int = 0,
                          censor_frac: float = 0.3,
-                         subtypes: Optional[Sequence[str]] = None) -> None:
+                         subtypes: Optional[Sequence[str]] = None,
+                         label_noise: float = 0.5) -> None:
     """Metadata whose survival times decrease with the latent risk z
     from `make_signal_store` (plus noise), with risk-independent random
     censoring — so c-index against the features' signal is meaningful.
     With `subtypes` (two class names), the oncotree code is also derived
-    from z — noisy-thresholded at its median — so a subtype run's AUC
-    measures the same feature signal."""
+    from z — thresholded at its median after adding `label_noise`-scaled
+    gaussian noise — so a subtype run's AUC measures the same feature
+    signal. `label_noise` bounds the achievable AUC: on small val/test
+    splits a single noise-flipped label costs ~n_pairs/flip, so
+    flagship-scale proofs use a lower value than the 0.5 default."""
     rng = np.random.default_rng(seed + 1)
     noise = 0.25 * rng.normal(size=len(slide_ids))
     months = 1.0 + 119.0 / (1.0 + np.exp(np.asarray(z) + noise))
@@ -104,8 +116,9 @@ def make_signal_metadata(csv_path: str, slide_ids: Sequence[str],
                         months)
     if subtypes is not None:
         assert len(subtypes) == 2
-        codes = np.where(np.asarray(z) + 0.5 * rng.normal(size=len(z)) > 0,
-                         subtypes[1], subtypes[0])
+        codes = np.where(
+            np.asarray(z) + label_noise * rng.normal(size=len(z)) > 0,
+            subtypes[1], subtypes[0])
     else:
         codes = ["IDC"] * len(slide_ids)
     rows = ["case_id,slide_id,survival_months,censorship,oncotree_code"]

@@ -152,3 +152,28 @@ def test_dress_rehearsal_record():
     lines = [json.loads(l) for l in
              open(os.path.join(root, "metrics.jsonl")).read().splitlines()]
     assert len(lines) >= epochs and "train_loss" in lines[0]
+
+
+def test_dress_rehearsal_subtype_record():
+    """The classification-task twin of the dress rehearsal
+    (`--task subtype`): same flagship model and latent signal, IDC-vs-ILC
+    labels, held-out AUC >= 0.80."""
+    import json
+
+    root = os.path.join(REPO, "examples", "records",
+                        "flagship_dress_rehearsal_subtype")
+    cfg = Config.load(root, test_mode=True)
+    assert cfg.task == "subtype_classification"
+    assert cfg.filter_to_subtypes == ["IDC", "ILC"]
+    assert cfg.engine == "streaming"
+    assert cfg.model_config.patch_embed_dim == 1024
+
+    with open(os.path.join(root, "summary.json")) as f:
+        summary = json.load(f)
+    with open(os.path.join(root, "train_stats.json")) as f:
+        stats = json.load(f)
+    epochs = cfg.num_epochs
+    assert stats["epoch"] == epochs
+    assert stats["train_loss"][str(epochs)] < stats["train_loss"]["1"]
+    assert stats["val_AUC"][str(epochs)] >= 0.80
+    assert summary["test_metrics"]["test_AUC"] >= 0.80
