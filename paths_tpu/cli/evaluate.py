@@ -59,19 +59,48 @@ def main(argv=None):
 
     mesh = mesh_from_config(config)
     params = replicate(mesh, params)
-    _, evaluate = make_step_fns(config, make_optimizer(config), mesh=mesh)
 
     evaluator = make_evaluator(config, args.split)
     bs = args.batch_size or config.batch_size[0]
-    for bag0, tables, labels, w in _epoch_batches(
-            ds, bs, shuffle=False, seed=0, mesh_size=data_axis_size(mesh),
-            config=config):
-        bag0, tables, labels = shard_train_batch(mesh, bag0, tables, labels)
-        loss, aux = evaluate(params, bag0, tables, labels)
+
+    # honor the trained model's engine: streaming keeps the deeper feature
+    # tables host-side (the fused path would collate every level's full
+    # tables to the device — the exact HBM blow-up streaming exists to
+    # avoid); "auto" re-prices from this split's actual shape bounds
+    engine = config.engine
+    if engine == "auto":
+        from paths_tpu.engine.auto import resolve_engine
+
+        engine = resolve_engine(config, ds.global_pads(), bs)
+
+    def register(labels, pred, loss, w):
         n_real = int(w.sum())
         host_labels = {k: np.asarray(v)[:n_real] for k, v in labels.items()}
-        evaluator.register(host_labels, np.asarray(aux["pred"])[:n_real],
+        evaluator.register(host_labels, np.asarray(pred)[:n_real],
                            float(loss))
+
+    if engine == "streaming":
+        from paths_tpu.engine.streaming import StreamingEngine
+        from paths_tpu.train.loop import _epoch_batches_streaming
+
+        eng = StreamingEngine(config, mesh=mesh)
+        for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
+                ds, bs, shuffle=False, seed=0,
+                mesh_size=data_axis_size(mesh), config=config, mesh=mesh):
+            loss, pred = eng.evaluate(params, bag0, host_tables, labels)
+            register(labels, pred, loss, w)
+            if not ds.cache_slides:
+                for s_ in slides:
+                    s_.unload()
+    else:
+        _, evaluate = make_step_fns(config, make_optimizer(config), mesh=mesh)
+        for bag0, tables, labels, w in _epoch_batches(
+                ds, bs, shuffle=False, seed=0, mesh_size=data_axis_size(mesh),
+                config=config):
+            bag0, tables, labels = shard_train_batch(mesh, bag0, tables,
+                                                     labels)
+            loss, aux = evaluate(params, bag0, tables, labels)
+            register(labels, aux["pred"], loss, w)
 
     out = evaluator.calculate()
     print(json.dumps(out, indent=2))

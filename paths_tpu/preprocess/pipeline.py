@@ -203,19 +203,22 @@ def _patch_source(wsi: WSIReader, load_mode: int, power: float,
 
 
 def _bucket(width: int, batch_size: int, mult: int = 1) -> int:
-    """Padded width for a batch holding `width` valid patches: full
-    batches stay `batch_size`; the level's TAIL batch is padded only to
-    the smallest power-of-two bucket >= width (floored at 32 and
-    batch_size//8). Small levels (low magnifications hold a handful of
-    tissue cells) would otherwise ship and encode a batch that is mostly
-    zero padding — measured ~60% of all preprocessed bytes/FLOPs wasted
-    at batch 256 on the flagship pyramid. Each distinct bucket is one
-    compiled encoder shape (at most 4, persistently cached).
+    """Padded width for a batch holding `width` valid patches: the base
+    bucket is the smallest power of two >= width (floored at 32 and
+    batch_size//8, capped at batch_size — so full batches' base is
+    exactly `batch_size`, and only each level's TAIL batch shrinks).
+    Small levels (low magnifications hold a handful of tissue cells)
+    would otherwise ship and encode a batch that is mostly zero padding —
+    measured ~60% of all preprocessed bytes/FLOPs wasted at batch 256 on
+    the flagship pyramid. Each distinct bucket is one compiled encoder
+    shape (at most 4 when `mult` is a power of two, persistently cached).
 
     `mult` is the mesh `data`-axis size when batches are staged sharded:
     pow-2 buckets divide pow-2 meshes for free, but a non-pow-2 axis
-    (e.g. 6 chips) needs the tail rounded UP to a multiple of the axis
-    or `NamedSharding(P("data"))` rejects the batch."""
+    (e.g. 6 chips) needs EVERY bucket — including the full-batch one —
+    rounded UP to a multiple of the axis (256 -> 258 at mult=6) or
+    `NamedSharding(P("data"))` rejects the batch; the compiled shapes
+    shift accordingly on such meshes."""
     b = max(32, batch_size // 8)
     while b < width:
         b *= 2

@@ -65,12 +65,7 @@ def run_recursion(config: Config, params: dict, encode_fn: Callable,
                            camelyon=camelyon, default_power=default_power)
     slide.load_patches()
 
-    def apply_at(depth):
-        # params as ARGUMENT (constants would bloat the HLO); config and
-        # depth are static python closures
-        return jax.jit(lambda p, b: recursive_apply(p, config, depth, b))
-
-    applies = [apply_at(d) for d in range(config.num_levels)]
+    applies = [_apply_at(config, d) for d in range(config.num_levels)]
 
     slide_depths = [slide]
     imps = []
@@ -95,6 +90,26 @@ def run_recursion(config: Config, params: dict, encode_fn: Callable,
             slide.load_patches()
             slide_depths.append(slide)
     return slide_depths, imps, np.asarray(out["logits"])
+
+
+def _apply_at(config: Config, depth: int):
+    """The jitted per-depth processor apply, cached ON the config object:
+    a fresh `jax.jit` wrapper per call would retrace + re-lower every
+    program for every slide (each new wrapper is a new cache key), which
+    on remote-compile links re-pays the per-executable first-execution
+    cost per slide. params stay an ARGUMENT (constants would bloat the
+    HLO); config and depth are static python closures, so the cache is
+    only valid while the config's model fields are unchanged — sessions
+    (serving, CLI, bench) treat a loaded Config as frozen."""
+    cache = getattr(config, "_recursion_jits", None)
+    if cache is None:
+        cache = {}
+        config._recursion_jits = cache
+    fn = cache.get(depth)
+    if fn is None:
+        fn = jax.jit(lambda p, b: recursive_apply(p, config, depth, b))
+        cache[depth] = fn
+    return fn
 
 
 def _pow2_width(n: int, floor: int = 32) -> int:

@@ -92,12 +92,19 @@ def reference_modules(*names):
         yield tuple(importlib.import_module(n) for n in names)
     finally:
         sys.path.remove(REFERENCE_DIR)
-        # drop EVERY module the block added (the reference uses generic
-        # top-level names — utils, config, model — that would otherwise
-        # shadow same-named imports in later tests), then restore what we
-        # replaced
+        # drop every module the block added THAT CAME FROM THE REFERENCE
+        # CHECKOUT (the reference uses generic top-level names — utils,
+        # config, model — that would otherwise shadow same-named imports
+        # in later tests), then restore what we replaced. Modules merely
+        # first-imported inside the block from elsewhere (paths_tpu.*,
+        # torch/scipy submodules pulled in lazily) must SURVIVE: purging
+        # them would make a later re-import create a duplicate module
+        # object while old references to the first still exist.
         for n in set(sys.modules) - before:
-            sys.modules.pop(n, None)
+            mod = sys.modules.get(n)
+            f = getattr(mod, "__file__", None) or ""
+            if f.startswith(REFERENCE_DIR) or n in _REF_MODULES:
+                sys.modules.pop(n, None)
         for n, old in saved.items():
             if old is None:
                 sys.modules.pop(n, None)

@@ -147,3 +147,45 @@ def test_evaluate_cli_2d_mesh(tmp_path):
     train_main(["-m", mdir, "--no-wandb"])
     out = eval_main(["-m", mdir, "--split", "test"])
     assert "test_c-index" in out and np.isfinite(out["test_loss"])
+
+
+def test_evaluate_cli_honors_streaming_engine(tmp_path):
+    """cli.evaluate runs a streaming-trained model through the
+    StreamingEngine (tables stay host-side — the fused path would collate
+    every level's tables to the device, the exact blow-up streaming
+    avoids) and reports the same metrics as the fused evaluator on an
+    identical checkpoint."""
+    import shutil
+
+    from paths_tpu.cli.evaluate import main as eval_main
+    from paths_tpu.cli.train import main as train_main
+    from paths_tpu.config import Config
+    from paths_tpu.data.synthetic import (
+        make_synthetic_metadata,
+        make_synthetic_store,
+    )
+    from test_train_loop import tiny_train_config
+
+    tmp = str(tmp_path)
+    cfg = tiny_train_config(tmp, num_epochs=1, engine="streaming")
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=8,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    mdir = os.path.join(tmp, "model_stream")
+    os.makedirs(mdir)
+    cfg.save(mdir)
+    train_main(["-m", mdir, "--no-wandb"])
+
+    out_stream = eval_main(["-m", mdir, "--split", "test"])
+    assert np.isfinite(out_stream["test_loss"])
+
+    # same checkpoint re-labeled fused: metrics must agree (engine parity)
+    fdir = os.path.join(tmp, "model_fused")
+    shutil.copytree(mdir, fdir)
+    fcfg = Config.load(fdir)
+    fcfg.engine = "fused"
+    fcfg.save(fdir)
+    out_fused = eval_main(["-m", fdir, "--split", "test"])
+    for k in out_stream:
+        np.testing.assert_allclose(out_stream[k], out_fused[k], atol=1e-5,
+                                   err_msg=k)
