@@ -234,3 +234,24 @@ def test_folded_importance_matches_naive_painter():
         m = naive[depth + 1] != 0
         naive[depth][m] += naive[depth + 1][m] * FOLD_WEIGHT
     np.testing.assert_allclose(got, naive[0], atol=1e-12)
+
+
+def test_run_recursion_caches_jits(tmp_path):
+    """Repeat slides on one Config reuse the SAME jitted applies: a fresh
+    jax.jit wrapper per call retraces every depth's program per slide
+    (and re-pays per-executable first-execution cost on remote-compile
+    links)."""
+    from paths_tpu.viz.heatmap import run_recursion
+
+    path, _, _ = slide_file(tmp_path)
+    cfg = small_cfg()
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    enc = dummy_encoder()
+
+    run_recursion(cfg, params, enc, path, tissue_threshold=0.05,
+                  camelyon=False, default_power=40.0, verbose=False)
+    first = dict(cfg._recursion_jits)
+    assert set(first) == set(range(cfg.num_levels))
+    run_recursion(cfg, params, enc, path, tissue_threshold=0.05,
+                  camelyon=False, default_power=40.0, verbose=False)
+    assert all(cfg._recursion_jits[d] is first[d] for d in first)
