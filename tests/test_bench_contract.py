@@ -75,6 +75,33 @@ def test_bench_kernel_parity_smoke(monkeypatch):
     assert kp["swiglu_bf16_vs_xla_rel_err"] < 2e-2, kp
 
 
+def test_bench_inference_smoke(tmp_path):
+    """BASELINE.json workload #1 (single-slide pretrained forward) on a
+    tiny config + store; the driver runs it at flagship shape on chip."""
+    import os
+
+    from paths_tpu.config import Config, PATHSProcessorConfig
+    from paths_tpu.data.dataset import load_splits
+    from paths_tpu.data.synthetic import (make_synthetic_metadata,
+                                          make_synthetic_store)
+
+    mc = PATHSProcessorConfig(patch_embed_dim=16, trans_dim=8, trans_heads=2,
+                              trans_layers=1, importance_mlp_hidden_dim=8,
+                              hierarchical_ctx_mlp_hidden_dim=8,
+                              pos_encoding_mode="2d", dropout=0.0)
+    cfg = Config(model_config=mc, num_levels=2, top_k_patches=2, nbins=2,
+                 task="survival", batch_size=4, level0_bucket=16,
+                 csv_path=os.path.join(str(tmp_path), "meta.csv.zip"),
+                 preprocess_dir=os.path.join(str(tmp_path), "store"),
+                 wsi_dir=os.path.join(str(tmp_path), "brca"))
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=4,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    ds = load_splits([1.0, 0.0, 0.0], seed=0, config=cfg)[0]
+    r = bench.bench_inference(cfg, ds, iters=2)
+    assert set(r) == {"inference_slide_ms"} and r["inference_slide_ms"] > 0
+
+
 def test_bench_heatmap_smoke():
     """The heatmap workload block end to end (tiled-JPEG write, raw-slide
     recursion, PDF) on a tiny config + small encoder."""
