@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--weights", default=None)
     ap.add_argument("--slides", type=int, default=10)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--store-dtype", default="float32",
+                    choices=("float32", "float16"),
+                    help="feature-store dtype (float16 halves the store)")
     args = ap.parse_args()
 
     from paths_tpu.encoders.registry import from_name
@@ -109,7 +112,7 @@ def main():
     preprocess(["-m", args.encoder, "-d", slide_dir, "-o", store_dir,
                 "-b", "16", "-p", "64", "-ms", "0.625", "1.25", "2.5", "5",
                 "10", "--ext", ".npy", "--default-power", "10",
-                "--weights", weights])
+                "--weights", weights, "--store-dtype", args.store_dtype])
 
     _, dim, _ = from_name(args.encoder)
     print(f"== 4/9 train ({args.epochs} epochs, encoder dim {dim})")

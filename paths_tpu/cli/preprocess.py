@@ -60,6 +60,13 @@ def main(argv=None):
                         help="Objective power assumed when the slide does "
                              "not declare one (reference assumes 40)")
     parser.add_argument("--ext", type=str, default=".svs")
+    parser.add_argument("--store-dtype", type=str, default="float32",
+                        choices=("float32", "float16"),
+                        help="On-disk feature-grid dtype. float32 matches "
+                             "the reference byte-for-byte; float16 halves "
+                             "store size, host RAM, and collation wire "
+                             "bytes (the encoder computes in bf16, so f32 "
+                             "grids carry no extra information)")
     parser.add_argument("--fast-math", action="store_true",
                         help="tanh-GELU encoder variant (~20%% faster, "
                              "~1e-3 relative feature error vs timm)")
@@ -100,7 +107,7 @@ def main(argv=None):
         downscale=args.downscale, batch_size=args.batch,
         threads=args.threads, mesh=mesh, default_power=args.default_power,
         decode_workers=args.decode_workers, load_mode=args.load_mode,
-        verbose=args.verbose)
+        store_dtype=args.store_dtype, verbose=args.verbose)
 
 
 if __name__ == "__main__":

@@ -31,9 +31,12 @@ def synthetic_grid(rng: np.random.Generator, h: int, w: int, d: int,
 
 def make_synthetic_store(root: str, config: Config, num_slides: int,
                          base_hw=(6, 8), seed: int = 0,
-                         tissue_fraction: float = 0.5) -> List[str]:
+                         tissue_fraction: float = 0.5,
+                         store_dtype=np.float32) -> List[str]:
     """Populate a FeatureStore with `num_slides` synthetic pyramids.
-    Returns the slide ids."""
+    Returns the slide ids. `store_dtype=np.float16` mirrors a
+    `cli.preprocess --store-dtype float16` run (same RNG draws, grids
+    cast at save time exactly as the pipeline's grid buffers are)."""
     store = FeatureStore(root, create=True)
     rng = np.random.default_rng(seed)
     d = config.model_config.patch_embed_dim
@@ -47,7 +50,7 @@ def make_synthetic_store(root: str, config: Config, num_slides: int,
         for lvl, power in enumerate(config.power_levels()):
             grid = synthetic_grid(rng, h * 2**lvl, w * 2**lvl, d,
                                   tissue_fraction)
-            store.save(sid, power, grid)
+            store.save(sid, power, grid.astype(store_dtype, copy=False))
     return ids
 
 

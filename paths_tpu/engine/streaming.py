@@ -174,6 +174,13 @@ class StreamingEngine:
                     lk_dev = jax.device_put(lk, self._shard)
                 else:
                     lk_dev = {k: jnp.asarray(v) for k, v in lk.items()}
+                # f16 stores gather f16 bags: ship the half-width bytes
+                # over the (RTT/bandwidth-bound) link, then upcast to the
+                # configured compute-table dtype on device
+                want = jnp.dtype(cfg.table_dtype)
+                if lk_dev["fts"].dtype != want:
+                    lk_dev = {**lk_dev,
+                              "fts": lk_dev["fts"].astype(want)}
                 if record:
                     recorded.append(lk_dev)
                 bag = self._finish(sel, lk_dev)

@@ -60,7 +60,15 @@ def build_level_table(grid: np.ndarray, min_rows: int = 0):
 
     h, w, d = grid.shape
     flat = grid.reshape(-1, d)
-    bg = flat.sum(axis=1) == 0
+    if flat.dtype == np.float16:
+        # f16 stores: "background" = the all-zero rows the preprocessor
+        # writes. A signed f16 row-sum could underflow a live row to
+        # exact 0 (accumulation happens at the storage dtype), so test
+        # entries directly — identical to sum==0 on real stores, where
+        # background rows are exactly zero.
+        bg = ~np.any(flat != 0, axis=1)
+    else:
+        bg = flat.sum(axis=1) == 0  # reference semantics (slide.py:320-329)
     nz = np.flatnonzero(~bg)           # row-major order
     z = np.flatnonzero(bg)
     count = len(nz)

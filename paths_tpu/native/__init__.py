@@ -50,7 +50,11 @@ def build_level_table_native(grid: np.ndarray, min_rows: int = 0) -> Optional[di
     """Native equivalent of `engine.tables.build_level_table`; None when
     the library isn't built."""
     lib = load()
-    if lib is None:
+    if lib is None or grid.dtype != np.float32:
+        # non-f32 grids (float16 stores) take the numpy path: the C
+        # kernels are f32-only, and an ascontiguousarray upcast here
+        # would silently widen the table dtype downstream (stack_tables
+        # ships the HOST dtype — upcasting defeats the f16 wire savings)
         return None
     grid = np.ascontiguousarray(grid, np.float32)
     h, w, d = grid.shape
@@ -73,8 +77,8 @@ def build_level_table_native(grid: np.ndarray, min_rows: int = 0) -> Optional[di
 
 def level0_bag_native(grid: np.ndarray, patch_size: int):
     lib = load()
-    if lib is None:
-        return None
+    if lib is None or grid.dtype != np.float32:
+        return None  # f32-only (see build_level_table_native)
     grid = np.ascontiguousarray(grid, np.float32)
     h, w, d = grid.shape
     fts = np.empty((h * w, d), np.float32)

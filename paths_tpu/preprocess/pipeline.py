@@ -38,6 +38,22 @@ def next_multiple(n: int, m: int) -> int:
     return m * math.ceil(n / m)
 
 
+def _grid_dtype(store_dtype) -> np.dtype:
+    """Validated on-disk grid dtype. float16 halves disk/page-cache/host
+    RAM for the store AND the collation wire bytes (`stack_tables` ships
+    the host dtype and upcasts on device); the encoder computes in bf16
+    anyway, so f32 grids carry no extra information. Background stays
+    exact: zero rows are preserved by the f32->f16 cast. The reference
+    stores f32 (`preprocess/preprocess.py:89` via torch.zeros default)
+    even though its embeddings come from fp16 autocast — float32 here
+    keeps byte-identical interop, float16 is the TPU-native option."""
+    dt = np.dtype(store_dtype)
+    if dt not in (np.dtype(np.float32), np.dtype(np.float16)):
+        raise ValueError(
+            f"store_dtype must be float32 or float16, got {store_dtype!r}")
+    return dt
+
+
 def _mesh_data_size(mesh) -> int:
     """Size of the `data` axis batches must divide when staged sharded."""
     return 1 if mesh is None else dict(mesh.shape).get("data", 1)
@@ -276,15 +292,16 @@ def process_level(wsi: WSIReader, encode_fn: Callable, dim: int, power: float,
                   *, patch_size: int = 256, tissue_threshold: float = 0.1,
                   downscale: int = 4, batch_size: int = 64, threads: int = 8,
                   camelyon: bool = False, mesh=None, load_mode: int = 0,
-                  verbose: bool = False) -> np.ndarray:
-    """One (slide, magnification) -> (rows/P, cols/P, D) float32 grid."""
+                  store_dtype="float32", verbose: bool = False) -> np.ndarray:
+    """One (slide, magnification) -> (rows/P, cols/P, D) grid in
+    `store_dtype` (float32 default; float16 halves the store)."""
     n_rows, n_cols, cand = _level_plan(wsi, power, patch_size,
                                        tissue_threshold, downscale, camelyon)
     if verbose:
         print(f"  power {power}: {len(cand)}/{n_rows * n_cols} cells pass "
               f"tissue threshold")
 
-    grid = np.zeros((n_rows, n_cols, dim), np.float32)
+    grid = np.zeros((n_rows, n_cols, dim), _grid_dtype(store_dtype))
     if len(cand) == 0:
         return grid
 
@@ -323,7 +340,7 @@ def process_slide(path: str, slide_id: str, encode_fn: Callable, dim: int,
                   patch_size: int = 256, tissue_threshold: float = 0.1,
                   downscale: int = 4, batch_size: int = 64, threads: int = 8,
                   default_power: float = 40.0, mesh=None, load_mode: int = 0,
-                  verbose: bool = False) -> None:
+                  store_dtype="float32", verbose: bool = False) -> None:
     """All magnifications for one slide, with skip-if-exists resume and
     per-(slide, power) fault tolerance (`preprocess.py:113-146`)."""
     from paths_tpu.preprocess.wsi import open_wsi
@@ -338,7 +355,8 @@ def process_slide(path: str, slide_id: str, encode_fn: Callable, dim: int,
                     wsi, encode_fn, dim, power, patch_size=patch_size,
                     tissue_threshold=tissue_threshold, downscale=downscale,
                     batch_size=batch_size, threads=threads, mesh=mesh,
-                    load_mode=load_mode, verbose=verbose)
+                    load_mode=load_mode, store_dtype=store_dtype,
+                    verbose=verbose)
                 store.save(slide_id, power, grid)
             except Exception:
                 print(f"ISSUE WITH SLIDE {slide_id} AT POWER {power}")
@@ -400,7 +418,8 @@ def _decode_worker(wid: int, items: Sequence, magnifications: Sequence[float],
 
 
 def _consume_decode_queue(q, procs, *, encode, stage_fn, dim, store,
-                          verbose, poll_s: float = 5.0) -> None:
+                          verbose, grid_dtype=np.float32,
+                          poll_s: float = 5.0) -> None:
     """Parent-side consumer of the decode-worker message stream.
 
     Runs until every worker's `done` sentinel arrives — but survives
@@ -430,7 +449,7 @@ def _consume_decode_queue(q, procs, *, encode, stage_fn, dim, store,
             key, n_rows, n_cols, cand = payload
             open_levels[key] = [cand,
                                 np.zeros((n_rows, n_cols, dim),
-                                         np.float32), []]
+                                         grid_dtype), []]
             if verbose:
                 print(f"{key[0]} @ {key[1]}: {len(cand)}/"
                       f"{n_rows * n_cols} cells pass tissue threshold")
@@ -470,7 +489,8 @@ def _consume_decode_queue(q, procs, *, encode, stage_fn, dim, store,
 def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
                        decode_workers, patch_size, tissue_threshold,
                        downscale, batch_size, threads, default_power, mesh,
-                       batches_ahead, stage_h2d, load_mode, verbose) -> None:
+                       batches_ahead, stage_h2d, load_mode, store_dtype,
+                       verbose) -> None:
     """Multi-process decode fan-in: `decode_workers` spawn processes
     decode slide shards in parallel and feed one bounded queue; the
     parent stages batches to the device and encodes. Used by
@@ -497,7 +517,8 @@ def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
     stage_fn = _make_stager(stage_h2d, mesh)
     try:
         _consume_decode_queue(q, procs, encode=encode, stage_fn=stage_fn,
-                              dim=dim, store=store, verbose=verbose)
+                              dim=dim, store=store, verbose=verbose,
+                              grid_dtype=_grid_dtype(store_dtype))
     finally:
         for p in procs:
             p.terminate()
@@ -511,7 +532,7 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                    default_power: float = 40.0, mesh=None,
                    batches_ahead: int = 6, stage_h2d: bool = True,
                    decode_workers: int = 0, load_mode: int = 0,
-                   stats: Optional[dict] = None,
+                   store_dtype="float32", stats: Optional[dict] = None,
                    verbose: bool = False) -> None:
     """Pipelined multi-slide preprocessing: a producer thread walks every
     (slide, magnification), masks, reads patch batches, and stages them
@@ -538,6 +559,10 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
         from host RAM — the reference's `--load_mode 1`
         (`preprocess/preprocess.py:48-56`), faster on storage where many
         small reads dominate, at a large per-level RAM cost.
+    :param store_dtype: on-disk grid dtype — "float32" (reference-
+        identical interop, the default) or "float16" (half the store
+        size, host RAM, and downstream collation wire bytes; see
+        `_grid_dtype`).
     :param stats: optional dict the run fills with pipeline timing
         (currently `h2d_busy_s`: cumulative blocking seconds of the
         dedicated staging thread — the pure-transfer wall the decode
@@ -551,7 +576,7 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
             batch_size=batch_size, threads=threads,
             default_power=default_power, mesh=mesh,
             batches_ahead=batches_ahead, stage_h2d=stage_h2d,
-            load_mode=load_mode, verbose=verbose)
+            load_mode=load_mode, store_dtype=store_dtype, verbose=verbose)
 
     import queue
     import threading
@@ -579,6 +604,7 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
     # crosses the link, so the wall tracks max(decode, H2D) not the sum
     stager = _AsyncStager(stage_fn) if stage_fn is not None else None
     mult = _mesh_data_size(mesh)
+    grid_dtype = _grid_dtype(store_dtype)
 
     def produce():
         pool = ThreadPoolExecutor(max_workers=threads)
@@ -641,7 +667,7 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                 print(tb)
             elif kind == "level":
                 slide_id, power, n_rows, n_cols, cand = payload
-                grid = np.zeros((n_rows, n_cols, dim), np.float32)
+                grid = np.zeros((n_rows, n_cols, dim), grid_dtype)
                 cur = (slide_id, power, cand, grid, [])
                 if verbose:
                     print(f"{slide_id} @ {power}: {len(cand)}/"
