@@ -106,13 +106,13 @@ def bench_tpu(cfg: Config, batch) -> float:
 
 
 def bench_encoder(encoder: str = "UNI", batch_size: int = 256,
-                  iters: int = 5) -> float:
+                  iters: int = 5, block_impl: str = "auto") -> float:
     """Patch-encode throughput for one encoder, img/s, chained dispatch."""
     import jax.numpy as jnp
 
     from paths_tpu.encoders.registry import from_name
 
-    encode, dim, tspec = from_name(encoder)
+    encode, dim, tspec = from_name(encoder, block_impl=block_impl)
     x = jax.device_put(jnp.asarray(
         np.random.default_rng(0).random((batch_size, 256, 256, 3),
                                         dtype=np.float32)))
@@ -463,6 +463,48 @@ def bench_kernel_parity(small: bool = False) -> dict:
         out["flash_bwd_vs_xla_max_err"] = round(
             max(err(a, r) for a, r in zip(gf, gr)), 7)
 
+    # int8 kernels (opt-in block_impl="int8"): the kernel must match the
+    # pure-jnp mirror of the SAME quantized math (a Mosaic lowering bug
+    # breaks this), and the distance to the f32 block — the quantization
+    # error itself — is reported for the record
+    from paths_tpu.kernels import vit_int8 as vi8
+
+    for name, spec, swi in [("int8", gelu_spec, False),
+                            ("int8_swiglu", swi_spec, True)]:
+        params = vit_init(jax.random.PRNGKey(3), spec)
+        blk_f = jax.tree_util.tree_map(lambda a: a, params["blocks"][0])
+        blk = vi8.quantize_vit_blocks(params)["blocks"][0]
+        xq = jnp.asarray(rng.normal(
+            size=(2, 64, spec.embed_dim)).astype(np.float32) * 0.5)
+        at, ml = blk["attn"], blk["mlp"]
+        got = vi8.fused_attn_block_i8(
+            xq, blk["norm1"]["scale"], blk["norm1"]["bias"], at["qkv_w"],
+            at["proj_w"], at["qkv_b"], at["proj_b"], blk.get("ls1"),
+            num_heads=spec.num_heads)
+        if swi:
+            got = vi8.fused_swiglu_mlp_block_i8(
+                got, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                ml["fc1_w"], ml["fc1_b"], ml["fc2_w"], ml["fc2_b"],
+                blk.get("ls2"))
+        else:
+            got = vi8.fused_mlp_block_i8(
+                got, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                ml["fc1_w"], ml["fc1_b"], ml["fc2_w"], ml["fc2_b"],
+                blk.get("ls2"), exact_gelu=True)
+        ref_q = vi8.int8_block_reference(blk, xq, num_heads=spec.num_heads,
+                                         swiglu=swi)
+        out[f"{name}_vs_mirror_max_err"] = round(err(got, ref_q), 7)
+        with jax.default_matmul_precision("highest"):
+            # f32 single block through the plain XLA path: the distance
+            # to it is the quantization error itself
+            from paths_tpu.encoders import vit as _vit_mod
+
+            ref_f = _vit_mod._block(blk_f, xq, spec, jnp.float32,
+                                    attn_impl="xla")
+        out[f"{name}_vs_f32_rel_err"] = round(
+            err(got, ref_f) / max(float(np.abs(np.asarray(ref_f)).max()),
+                                  1e-6), 7)
+
     # the PRODUCTION dtype: fused bf16 vs XLA bf16 on the same inputs —
     # both sides round through bf16, so the residual is op-ordering only;
     # a Mosaic lowering bug in the bf16 program (the one encoders actually
@@ -597,20 +639,27 @@ def main():
     peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
                 None)
 
-    def encoder_fields(name, spec, prefix):
+    def encoder_fields(name, spec, prefix, block_impl="auto"):
         try:
-            ips = bench_encoder(name)
+            ips = bench_encoder(name, block_impl=block_impl)
         except Exception as e:
             print(f"{name} encoder bench failed: {e}", file=sys.stderr)
             return {}
         out = {f"{prefix}_encode_img_per_sec": round(ips, 1)}
         if peak:
+            # against the chip's BF16 peak in all cases: int8 runs at the
+            # same MXU rate here (measured — its win is halved weight
+            # bytes), so >= the bf16 figure means "beats the bf16 path"
             out[f"{prefix}_encode_mfu"] = round(
                 ips * vit_flops_per_image(spec) / peak, 3)
         return out
 
     enc = encoder_fields("UNI", _vit.UNI, "uni_vitl")
     enc |= encoder_fields("Virchow2", _vit.VIRCHOW2, "virchow2")
+    # opt-in int8 path (block_impl="int8"): ~1e-2 relative feature error,
+    # certified by kernel_parity's int8_vs_* fields each run
+    enc |= encoder_fields("UNI", _vit.UNI, "uni_vitl_int8",
+                          block_impl="int8")
 
     try:
         pre = bench_preprocess()

@@ -90,7 +90,10 @@ def from_name(name: str, weights_path: Optional[str] = None,
     :param fast_math: tanh-GELU instead of timm's exact erf GELU
         (~20% faster on TPU, ~1e-3 relative feature error).
     :param block_impl: "auto" (fused Pallas block kernels on TPU, XLA
-        otherwise), "fused", "flash", or "xla"."""
+        otherwise), "fused", "flash", "xla", or "int8" (dynamic-
+        activation int8 projections on the MXU — 2x bf16 peak on v5e,
+        <=~1e-2 relative feature error; weights are quantized once
+        here)."""
     name = name.lower()
 
     if name in _VIT_SPECS:
@@ -105,8 +108,12 @@ def from_name(name: str, weights_path: Optional[str] = None,
             params = vit_init(jax.random.PRNGKey(seed), spec)
         # scan-over-stacked-blocks layout: ~depth-times smaller programs
         params = stack_vit_blocks(params)
-        params = jax.device_put(params)  # resident once, passed as jit args
         impl = _resolve_block_impl(block_impl)
+        if impl == "int8":
+            from paths_tpu.kernels.vit_int8 import quantize_vit_blocks
+
+            params = quantize_vit_blocks(params)  # once, host-side
+        params = jax.device_put(params)  # resident once, passed as jit args
 
         def encode(images, params=params):
             return _vit_encode(params, images, tspec, compute_dtype,

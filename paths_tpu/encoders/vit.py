@@ -200,6 +200,32 @@ def _mlp(p, x, swiglu, cd, gelu="exact"):
 
 
 def _block(blk, x, spec, cd, attn_impl="xla"):
+    if attn_impl == "int8":
+        # dynamic-activation / static-weight int8 projections on the MXU
+        # (2x bf16 peak on v5e); requires params quantized by
+        # `kernels.vit_int8.quantize_vit_blocks` (registry block_impl
+        # "int8" does this). Frozen encoders only — forward-only kernels.
+        from paths_tpu.kernels import vit_int8 as vi8
+
+        if not vi8.is_quantized(blk):
+            raise ValueError(
+                "attn_impl='int8' needs quantized params — run "
+                "kernels.vit_int8.quantize_vit_blocks(params) first "
+                "(encoders.from_name(block_impl='int8') does)")
+        at, ml = blk["attn"], blk["mlp"]
+        x = vi8.fused_attn_block_i8(
+            x, blk["norm1"]["scale"], blk["norm1"]["bias"], at["qkv_w"],
+            at["proj_w"], at["qkv_b"], at["proj_b"], blk.get("ls1"),
+            num_heads=spec.num_heads)
+        if spec.swiglu:
+            return vi8.fused_swiglu_mlp_block_i8(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                ml["fc1_w"], ml["fc1_b"], ml["fc2_w"], ml["fc2_b"],
+                blk.get("ls2"))
+        return vi8.fused_mlp_block_i8(
+            x, blk["norm2"]["scale"], blk["norm2"]["bias"], ml["fc1_w"],
+            ml["fc1_b"], ml["fc2_w"], ml["fc2_b"], blk.get("ls2"),
+            exact_gelu=(spec.gelu == "exact"))
     if attn_impl == "fused1" and not spec.swiglu:
         # whole block in ONE kernel: post-attention activations never
         # round-trip HBM between the halves

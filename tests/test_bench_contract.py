@@ -57,22 +57,30 @@ def test_bench_kernel_parity_smoke(monkeypatch):
     paths on CPU via the Pallas interpreter at tiny shapes; the driver
     runs it unattended at full shapes on the real chip."""
     import paths_tpu.kernels.flash_attention as fa
-    from paths_tpu.kernels import vit_fused
+    from paths_tpu.kernels import vit_fused, vit_int8
 
     monkeypatch.setattr(vit_fused, "INTERPRET", True)
     monkeypatch.setattr(fa, "INTERPRET", True)
+    monkeypatch.setattr(vit_int8, "INTERPRET", True)
     r = bench.bench_kernel_parity(small=True)
     kp = r["kernel_parity"]
     for k in ("fused_pair_vs_xla_max_err", "fused1_vs_xla_max_err",
               "swiglu_vs_xla_max_err", "flash_fwd_vs_xla_max_err",
               "flash_bwd_vs_xla_max_err", "fused_bf16_vs_xla_rel_err",
-              "swiglu_bf16_vs_xla_rel_err"):
+              "swiglu_bf16_vs_xla_rel_err", "int8_vs_mirror_max_err",
+              "int8_swiglu_vs_mirror_max_err", "int8_vs_f32_rel_err",
+              "int8_swiglu_vs_f32_rel_err"):
         assert k in kp, kp
     # interpreter == same f32 math: errors must be tiny
     assert r["fused_vs_xla_max_err"] < 1e-3, kp
     # bf16 production path: both sides round through bf16, op order only
     assert kp["fused_bf16_vs_xla_rel_err"] < 2e-2, kp
     assert kp["swiglu_bf16_vs_xla_rel_err"] < 2e-2, kp
+    # int8 kernels: exact vs the quantized-math mirror, bounded vs f32
+    assert kp["int8_vs_mirror_max_err"] < 1e-4, kp
+    assert kp["int8_swiglu_vs_mirror_max_err"] < 1e-4, kp
+    assert kp["int8_vs_f32_rel_err"] < 3e-2, kp
+    assert kp["int8_swiglu_vs_f32_rel_err"] < 3e-2, kp
 
 
 def test_bench_inference_smoke(tmp_path):
