@@ -150,3 +150,40 @@ def test_registry_int8_path():
     cos = (out * ref).sum(-1) / (np.linalg.norm(out, axis=-1)
                                  * np.linalg.norm(ref, axis=-1))
     assert cos.min() > 0.999
+
+
+def test_int8_topk_selection_overlap():
+    """Downstream fidelity gate: PATHS keeps top-K patches by a score
+    over encoder features — int8 features must select (nearly) the same
+    patches. Diverse synthetic patches; a fixed random linear probe
+    stands in for the importance head. (On near-duplicate patches ANY
+    numeric perturbation reorders ties — that is not an int8 defect.)"""
+    from paths_tpu.encoders.registry import from_name
+
+    rng = np.random.default_rng(0)
+    imgs = np.empty((64, 224, 224, 3), np.float32)
+    for i in range(64):
+        img = np.tile(rng.uniform(0.2, 0.95, 3), (224, 224, 1))
+        for _ in range(int(rng.integers(1, 5))):
+            cy, cx = rng.uniform(0, 224, 2)
+            r = rng.uniform(20, 90)
+            yy, xx = np.mgrid[0:224, 0:224]
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+            img[m] = rng.uniform(0.1, 0.9, 3)
+        imgs[i] = np.clip(img + rng.normal(size=img.shape) * 0.03, 0, 1)
+
+    e8, _, _ = from_name("kaiko-vits16", compute_dtype=jnp.float32,
+                         block_impl="int8")
+    ef, _, _ = from_name("kaiko-vits16", compute_dtype=jnp.float32,
+                         block_impl="xla")
+    x = jnp.asarray(imgs)
+    a, b = np.asarray(e8(x)), np.asarray(ef(x))
+    v = rng.normal(size=a.shape[1]).astype(np.float32)
+    sa, sb = a @ v, b @ v
+    # measured here: 8/8 and 15/16 overlap, spearman 0.9987
+    assert len(set(np.argsort(-sa)[:8]) & set(np.argsort(-sb)[:8])) >= 7
+    assert len(set(np.argsort(-sa)[:16]) & set(np.argsort(-sb)[:16])) >= 14
+    ra = np.argsort(np.argsort(sa)).astype(np.float64)
+    rb = np.argsort(np.argsort(sb)).astype(np.float64)
+    rho = np.corrcoef(ra, rb)[0, 1]
+    assert rho > 0.995
