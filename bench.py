@@ -466,44 +466,54 @@ def bench_kernel_parity(small: bool = False) -> dict:
     # int8 kernels (opt-in block_impl="int8"): the kernel must match the
     # pure-jnp mirror of the SAME quantized math (a Mosaic lowering bug
     # breaks this), and the distance to the f32 block — the quantization
-    # error itself — is reported for the record
+    # error itself — is reported for the record. The WHOLE section runs
+    # at matmul precision "highest": the mirror's f32 attention einsums
+    # otherwise lower to single bf16 MXU passes on v5e while the kernel
+    # pins HIGHEST for f32 — a ~1e-3 phantom "mismatch" (observed; the
+    # GELU spec's 1e-5 LayerScale had hidden it, the SwiGLU spec didn't)
     from paths_tpu.kernels import vit_int8 as vi8
 
-    for name, spec, swi in [("int8", gelu_spec, False),
-                            ("int8_swiglu", swi_spec, True)]:
-        params = vit_init(jax.random.PRNGKey(3), spec)
-        blk_f = jax.tree_util.tree_map(lambda a: a, params["blocks"][0])
-        blk = vi8.quantize_vit_blocks(params)["blocks"][0]
-        xq = jnp.asarray(rng.normal(
-            size=(2, 64, spec.embed_dim)).astype(np.float32) * 0.5)
-        at, ml = blk["attn"], blk["mlp"]
-        got = vi8.fused_attn_block_i8(
-            xq, blk["norm1"]["scale"], blk["norm1"]["bias"], at["qkv_w"],
-            at["proj_w"], at["qkv_b"], at["proj_b"], blk.get("ls1"),
-            num_heads=spec.num_heads)
-        if swi:
-            got = vi8.fused_swiglu_mlp_block_i8(
-                got, blk["norm2"]["scale"], blk["norm2"]["bias"],
-                ml["fc1_w"], ml["fc1_b"], ml["fc2_w"], ml["fc2_b"],
-                blk.get("ls2"))
-        else:
-            got = vi8.fused_mlp_block_i8(
-                got, blk["norm2"]["scale"], blk["norm2"]["bias"],
-                ml["fc1_w"], ml["fc1_b"], ml["fc2_w"], ml["fc2_b"],
-                blk.get("ls2"), exact_gelu=True)
-        ref_q = vi8.int8_block_reference(blk, xq, num_heads=spec.num_heads,
-                                         swiglu=swi)
-        out[f"{name}_vs_mirror_max_err"] = round(err(got, ref_q), 7)
-        with jax.default_matmul_precision("highest"):
+    import dataclasses as _dc
+
+    # no LayerScale here: gelu_spec's 1e-5 ls makes the block ~identity,
+    # which would report a meaninglessly tiny int8-vs-f32 error
+    int8_gelu_spec = _dc.replace(gelu_spec, layer_scale=False)
+    with jax.default_matmul_precision("highest"):
+        for name, spec, swi in [("int8", int8_gelu_spec, False),
+                                ("int8_swiglu", swi_spec, True)]:
+            params = vit_init(jax.random.PRNGKey(3), spec)
+            blk_f = jax.tree_util.tree_map(lambda a: a, params["blocks"][0])
+            blk = vi8.quantize_vit_blocks(params)["blocks"][0]
+            xq = jnp.asarray(rng.normal(
+                size=(2, 64, spec.embed_dim)).astype(np.float32) * 0.5)
+            at, ml = blk["attn"], blk["mlp"]
+            got = vi8.fused_attn_block_i8(
+                xq, blk["norm1"]["scale"], blk["norm1"]["bias"],
+                at["qkv_w"], at["proj_w"], at["qkv_b"], at["proj_b"],
+                blk.get("ls1"), num_heads=spec.num_heads)
+            if swi:
+                got = vi8.fused_swiglu_mlp_block_i8(
+                    got, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    ml["fc1_w"], ml["fc1_b"], ml["fc2_w"], ml["fc2_b"],
+                    blk.get("ls2"))
+            else:
+                got = vi8.fused_mlp_block_i8(
+                    got, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    ml["fc1_w"], ml["fc1_b"], ml["fc2_w"], ml["fc2_b"],
+                    blk.get("ls2"), exact_gelu=True)
+            ref_q = vi8.int8_block_reference(blk, xq,
+                                             num_heads=spec.num_heads,
+                                             swiglu=swi)
+            out[f"{name}_vs_mirror_max_err"] = round(err(got, ref_q), 7)
             # f32 single block through the plain XLA path: the distance
             # to it is the quantization error itself
             from paths_tpu.encoders import vit as _vit_mod
 
             ref_f = _vit_mod._block(blk_f, xq, spec, jnp.float32,
                                     attn_impl="xla")
-        out[f"{name}_vs_f32_rel_err"] = round(
-            err(got, ref_f) / max(float(np.abs(np.asarray(ref_f)).max()),
-                                  1e-6), 7)
+            out[f"{name}_vs_f32_rel_err"] = round(
+                err(got, ref_f) / max(
+                    float(np.abs(np.asarray(ref_f)).max()), 1e-6), 7)
 
     # the PRODUCTION dtype: fused bf16 vs XLA bf16 on the same inputs —
     # both sides round through bf16, so the residual is op-ordering only;

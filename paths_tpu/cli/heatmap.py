@@ -27,6 +27,10 @@ def main(argv=None):
     parser.add_argument("--encoder", type=str, default="UNI")
     parser.add_argument("--weights", type=str, default=None,
                         help="torch state_dict for the patch encoder")
+    parser.add_argument("--block-impl", type=str, default="auto",
+                        choices=("auto", "fused", "fused1", "flash", "xla",
+                                 "int8"),
+                        help="encoder block kernels (see cli.preprocess)")
     parser.add_argument("--tissue-threshold", type=float, default=0.025)
     parser.add_argument("--default-power", type=float, default=40.0)
     parser.add_argument("--no-camelyon", action="store_true",
@@ -64,7 +68,8 @@ def main(argv=None):
         from paths_tpu.encoders.registry import from_name
         from paths_tpu.viz.heatmap import heatmap_slide
 
-        encode, dim, _ = from_name(args.encoder, weights_path=args.weights)
+        encode, dim, _ = from_name(args.encoder, weights_path=args.weights,
+                                   block_impl=args.block_impl)
         out = heatmap_slide(config, params, encode, args.slide_path,
                             args.annotation_path, args.out,
                             tissue_threshold=args.tissue_threshold,
