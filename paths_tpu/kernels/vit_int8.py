@@ -1,14 +1,19 @@
 """Int8-quantized fused ViT block kernels (Pallas, TPU, forward-only).
 
-The v5e MXU runs int8 x int8 -> int32 at 2x its bf16 rate (394 vs 197
-TOPS), and the encoders are frozen (reference `model/image_encoder.py:
-30-86` sets eval/no-grad) — so the patch-encode hot loop
+The encoders are frozen (reference `model/image_encoder.py:30-86` sets
+eval/no-grad), so the patch-encode hot loop
 (`preprocess/preprocess.py:94-105`) can trade <=1e-2 relative feature
-error for ~2x MXU throughput with dynamic activation quantization:
+error for throughput with dynamic activation quantization. Measured
+win: UNI 1.24x, Virchow2 1.49x over the fused bf16 kernels. The honest
+mechanism: through Mosaic/XLA on v5e, int8 MXU dots run at the SAME
+rate as bf16 (the advertised 2x int8 peak is not reachable from this
+toolchain — standalone probe: 114 vs 103 TF-equiv) — the entire gain is
+the HALVED weight-DMA bytes per block, which pipeline better; SwiGLU
+gains more because its packed fc1 doubles the MLP weight bytes:
 
   * weights: per-output-channel symmetric int8, quantized ONCE at
-    encoder construction (`quantize_vit_blocks`) — also 4x less weight
-    HBM traffic per block than f32 (2x vs bf16)
+    encoder construction (`quantize_vit_blocks`) — 2x less weight HBM
+    traffic per block than bf16
   * activations: per-token (row) symmetric int8, quantized inside the
     kernel right after the (f32) LayerNorm — LN output is well-scaled,
     so an abs-max row scale loses little
