@@ -28,7 +28,12 @@ import pandas as pd
 from paths_tpu.config import Config
 from paths_tpu.data.feature_store import FeatureStore
 from paths_tpu.data.slide import SlidePyramid
-from paths_tpu.engine.tables import bag_widths, stack_tables
+from paths_tpu.engine.tables import (
+    bag_widths,
+    host_stack_dtype,
+    stack_tables,
+    wire_dtype,
+)
 from paths_tpu.models.batch import PatchBag
 
 MAX_WORKERS = 8
@@ -323,7 +328,11 @@ def collate_bag0(dataset: SlideDataset, indices: Sequence[int],
     if pads is not None:
         max_n0 = max(max_n0, pads["n0"])
     n0 = _round_up(max_n0, level0_bucket)
-    fts0 = np.zeros((b, n0, mc.patch_embed_dim), np.float32)
+    # ship the level-0 features at the narrower of storage/table dtype and
+    # finish the cast on device — an f16 store's bag crosses the wire at
+    # half width, same contract as stack_tables (engine/tables.py)
+    host_dt = host_stack_dtype([f.dtype for f, _, _ in l0])
+    fts0 = np.zeros((b, n0, mc.patch_embed_dim), wire_dtype(host_dt, dtype))
     locs0 = np.zeros((b, n0, 2), np.int32)
     mask0 = np.zeros((b, n0), bool)
     for i, (f, l, n) in enumerate(l0):
@@ -333,7 +342,7 @@ def collate_bag0(dataset: SlideDataset, indices: Sequence[int],
 
     put = (lambda a: jnp.asarray(a)) if put is None else put
     return PatchBag(
-        fts=put(fts0.astype(dtype, copy=False)), locs=put(locs0),
+        fts=put(fts0).astype(dtype), locs=put(locs0),
         mask=put(mask0),
         parent_inds=jnp.broadcast_to(
             jnp.arange(n0, dtype=jnp.int32)[None], (b, n0)),

@@ -41,6 +41,15 @@ class FeatureStore:
     def exists(self, slide_id: str, power: float) -> bool:
         return self.path(slide_id, power) is not None
 
+    def dtype(self, slide_id: str, power: float) -> Optional[np.dtype]:
+        """Stored dtype of an existing grid, read from the .npy header
+        (no data load). None when absent or `.pt` (reference grids are
+        always f32; probing one would deserialize the tensor)."""
+        p = self.path(slide_id, power)
+        if p is None or not p.endswith(".npy"):
+            return None
+        return np.load(p, mmap_mode="r").dtype
+
     def save(self, slide_id: str, power: float, grid: np.ndarray) -> str:
         assert grid.ndim == 3, f"grid must be H x W x D, got {grid.shape}"
         p = self._base(slide_id, power) + ".npy"

@@ -63,8 +63,11 @@ class SlidePyramid:
             # keep the STORAGE dtype: f16 stores build f16 tables (half
             # host RAM and half the bytes on the wire — stack_tables and
             # the streaming engine upcast to table_dtype ON DEVICE);
-            # reference .pt grids arrive f32 as before
-            grid = np.array(self.store.load(self.slide_id, powers[lvl]))
+            # reference .pt grids arrive f32 as before. asarray, not
+            # array: the store hands back a read-only memmap and a copy
+            # here would turn every grid into resident RAM instead of
+            # evictable page cache (the table builders only gather rows)
+            grid = np.asarray(self.store.load(self.slide_id, powers[lvl]))
             # a table can never need more fallback rows than it has grid
             # cells (keep-all configs would otherwise request 4^depth * n0)
             min_rows = min(self.level_min_rows[lvl],
@@ -74,7 +77,7 @@ class SlidePyramid:
 
     def _materialize_level0(self) -> None:
         if self._level0 is None:
-            grid0 = np.array(self.store.load(self.slide_id, self.powers()[0]))
+            grid0 = np.asarray(self.store.load(self.slide_id, self.powers()[0]))
             self._level0 = level0_bag_arrays(grid0, self.patch_size)
 
     @property

@@ -200,11 +200,20 @@ def _mlp(p, x, swiglu, cd, gelu="exact"):
 
 
 def _block(blk, x, spec, cd, attn_impl="xla"):
+    if attn_impl != "int8" and isinstance(blk["attn"]["qkv_w"], dict):
+        # symmetric guard to the int8 check below: quantized {'q','s'}
+        # weights would otherwise die on a cryptic .astype AttributeError
+        # deep inside the trace
+        raise ValueError(
+            f"attn_impl={attn_impl!r} got int8-quantized params — use "
+            "attn_impl='int8', or load unquantized params for this impl")
     if attn_impl == "int8":
-        # dynamic-activation / static-weight int8 projections on the MXU
-        # (2x bf16 peak on v5e); requires params quantized by
-        # `kernels.vit_int8.quantize_vit_blocks` (registry block_impl
-        # "int8" does this). Frozen encoders only — forward-only kernels.
+        # dynamic-activation / static-weight int8 projections; the gain is
+        # halved weight-DMA bytes per block (int8 MXU dots run at bf16
+        # rate through Mosaic on v5e — see kernels/vit_int8.py). Requires
+        # params quantized by `kernels.vit_int8.quantize_vit_blocks`
+        # (registry block_impl "int8" does this). Frozen encoders only —
+        # forward-only kernels.
         from paths_tpu.kernels import vit_int8 as vi8
 
         if not vi8.is_quantized(blk):

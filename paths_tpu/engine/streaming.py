@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from paths_tpu.config import Config
 from paths_tpu.engine.hierarchy import finish_step, select_children, task_loss
+from paths_tpu.engine.tables import host_stack_dtype, wire_dtype
 from paths_tpu.models.batch import PatchBag
 from paths_tpu.models.recursive import recursive_apply
 
@@ -56,7 +57,8 @@ def lookup_host(child_locs: np.ndarray, child_kvalid: np.ndarray,
     dicts (as produced by `build_level_table`)."""
     b, s, _ = child_locs.shape
     d = host_tables[0]["fts"].shape[1]
-    fts = np.zeros((b, s, d), host_tables[0]["fts"].dtype)
+    fts = np.zeros((b, s, d),
+                   host_stack_dtype([t["fts"].dtype for t in host_tables]))
     mask = np.zeros((b, s), bool)
     locs = np.zeros((b, s, 2), np.int32)
     parent = np.zeros((b, s), np.int32)
@@ -170,6 +172,12 @@ class StreamingEngine:
                     (sel["child_locs"], sel["child_kvalid"]))
                 lk = lookup_host(np.asarray(locs_h), np.asarray(kvalid_h),
                                  [ts[i] for ts in host_tables])
+                # ship at the narrower of storage/table dtype (an f32
+                # store with bf16 tables downcasts HOST-side rather than
+                # shipping double bytes; see engine.tables.wire_dtype)
+                wd = wire_dtype(lk["fts"].dtype, jnp.dtype(cfg.table_dtype))
+                if lk["fts"].dtype != wd:
+                    lk = {**lk, "fts": lk["fts"].astype(wd)}
                 if self._shard is not None:
                     lk_dev = jax.device_put(lk, self._shard)
                 else:

@@ -91,6 +91,34 @@ def build_level_table(grid: np.ndarray, min_rows: int = 0):
             "index": index, "grid_hw": np.array([h, w], np.int32)}
 
 
+def host_stack_dtype(dtypes: Sequence[np.dtype]) -> np.dtype:
+    """Dtype a batch of host feature arrays stacks at: the widest input
+    (deterministic regardless of batch order; a resumed preprocess run
+    with a changed --store-dtype can legally mix f16 and f32 grids)."""
+    uniq = {np.dtype(d) for d in dtypes}
+    if len(uniq) > 1:
+        import warnings
+
+        warnings.warn(
+            f"feature batch mixes storage dtypes {sorted(map(str, uniq))}; "
+            "stacking at the widest. Re-preprocess with one --store-dtype "
+            "to reclaim the f16 wire/RAM savings.")
+    return max(uniq, key=lambda d: d.itemsize)
+
+
+def wire_dtype(host_dtype, target_dtype) -> np.dtype:
+    """Dtype feature arrays should cross the host->device link at: the
+    NARROWER of the storage dtype and the requested table dtype. An f16
+    store with f32 tables ships f16 and upcasts on device; an f32 store
+    with bf16 tables downcasts host-side rather than shipping double
+    bytes. (numpy handles bf16 via ml_dtypes, which jax registers.)"""
+    host_dtype = np.dtype(host_dtype)
+    if target_dtype is None:
+        return host_dtype
+    target = np.dtype(target_dtype)
+    return target if target.itemsize < host_dtype.itemsize else host_dtype
+
+
 def stack_tables(tables: Sequence[dict], min_rows: int = 0,
                  pad_rows_to: int | None = None,
                  pad_grid_to: tuple | None = None,
@@ -99,7 +127,9 @@ def stack_tables(tables: Sequence[dict], min_rows: int = 0,
 
     :param dtype: optional feature dtype (e.g. jnp.bfloat16 halves HBM and
     host->device traffic for the dominant arrays; background/validity is
-    decided host-side in f32 so masking semantics are unaffected)
+    decided host-side in f32 so masking semantics are unaffected). The
+    host copy crosses the wire at `wire_dtype` and is cast to `dtype` on
+    device, so the link always carries the narrower representation.
     :param put: host->device placement for the stacked arrays (default
     `jnp.asarray`). Multi-chip callers pass a sharded `jax.device_put`
     so each chip's slice crosses its own link instead of landing whole
@@ -114,7 +144,8 @@ def stack_tables(tables: Sequence[dict], min_rows: int = 0,
         h, w = max(h, pad_grid_to[0]), max(w, pad_grid_to[1])
     d = tables[0]["fts"].shape[1]
 
-    fts = np.zeros((b, m, d), tables[0]["fts"].dtype)
+    host_dt = host_stack_dtype([t["fts"].dtype for t in tables])
+    fts = np.zeros((b, m, d), wire_dtype(host_dt, dtype))
     locs = np.zeros((b, m, 2), np.int32)
     count = np.zeros((b,), np.int32)
     index = np.full((b, h, w), -1, np.int32)

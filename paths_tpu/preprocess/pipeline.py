@@ -59,6 +59,24 @@ def _mesh_data_size(mesh) -> int:
     return 1 if mesh is None else dict(mesh.shape).get("data", 1)
 
 
+def _warn_skip_dtype(store, slide_id: str, power: float, store_dtype) -> None:
+    """Skip-if-exists resume keeps whatever dtype is on disk; if it is not
+    the dtype this run was asked for, the store ends up mixed (the data
+    path widens deterministically — `engine.tables.host_stack_dtype` —
+    but the f16 savings are partly lost). Surface it instead of staying
+    silent. One warning per (existing, requested) dtype pair per process
+    (the warnings module dedups repeats of the same message)."""
+    existing = store.dtype(slide_id, power)
+    if existing is not None and existing != _grid_dtype(store_dtype):
+        import warnings
+
+        warnings.warn(
+            f"resume: existing grids are {existing} but this run requests "
+            f"store_dtype={np.dtype(store_dtype)}; kept as-is. Delete the "
+            "old files (or rerun with the matching --store-dtype) for a "
+            "uniform store.")
+
+
 def cell_tissue_proportions(mask: np.ndarray, cell: int,
                             n_rows: int, n_cols: int) -> np.ndarray:
     """Mean mask value per (cell x cell) grid cell, edge cells averaged
@@ -349,6 +367,7 @@ def process_slide(path: str, slide_id: str, encode_fn: Callable, dim: int,
     try:
         for power in magnifications:
             if store.exists(slide_id, power):
+                _warn_skip_dtype(store, slide_id, power, store_dtype)
                 continue
             try:
                 grid = process_level(
@@ -389,6 +408,8 @@ def _decode_worker(wid: int, items: Sequence, magnifications: Sequence[float],
             try:
                 for power in magnifications:
                     if store.exists(slide_id, power):
+                        _warn_skip_dtype(store, slide_id, power,
+                                         opts.get("store_dtype", "float32"))
                         continue
                     key = (slide_id, power)
                     try:
@@ -502,7 +523,8 @@ def _process_slides_mp(items, encode_fn, dim, magnifications, store, *,
     opts = {"patch_size": patch_size, "tissue_threshold": tissue_threshold,
             "downscale": downscale, "batch_size": batch_size,
             "threads": threads, "default_power": default_power,
-            "load_mode": load_mode, "bucket_mult": _mesh_data_size(mesh)}
+            "load_mode": load_mode, "bucket_mult": _mesh_data_size(mesh),
+            "store_dtype": store_dtype}
     shards = [list(items)[i::decode_workers] for i in range(decode_workers)]
     procs = [ctx.Process(target=_decode_worker,
                          args=(i, shards[i], list(magnifications),
@@ -622,6 +644,8 @@ def process_slides(items: Sequence, encode_fn: Callable, dim: int,
                         if cancelled.is_set():
                             return
                         if store.exists(slide_id, power):
+                            _warn_skip_dtype(store, slide_id, power,
+                                             store_dtype)
                             continue
                         try:
                             n_rows, n_cols, cand = _level_plan(

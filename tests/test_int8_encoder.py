@@ -129,6 +129,19 @@ def test_int8_requires_quantized_params():
         vit_apply(params, imgs, attn_impl="int8")
 
 
+@pytest.mark.parametrize("impl", ["xla", "fused"])
+def test_non_int8_rejects_quantized_params(impl):
+    """The inverse direction of the guard above: quantized {'q','s'}
+    weights through a float impl must fail with a clear message, not an
+    AttributeError deep inside the trace."""
+    spec = small_spec()
+    params = stack_vit_blocks(vit_init(jax.random.PRNGKey(0), spec))
+    qparams = vi8.quantize_vit_blocks(params)
+    imgs = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="int8-quantized"):
+        vit_apply(qparams, imgs, attn_impl=impl)
+
+
 def test_registry_int8_path():
     from paths_tpu.encoders.registry import from_name
 

@@ -187,6 +187,109 @@ def test_streaming_f16_store_matches_fused(tmp_path):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gf), atol=3e-5)
 
 
+def test_wire_dtype_narrower_side():
+    from paths_tpu.engine.tables import wire_dtype
+
+    assert wire_dtype(np.float16, np.float32) == np.float16   # f16 store
+    assert wire_dtype(np.float32, None) == np.float32
+    assert wire_dtype(np.float32, np.float16) == np.float16   # narrow target
+    assert wire_dtype(np.float32, np.float32) == np.float32
+    import jax.numpy as jnp
+
+    # f32 store + bf16 tables must ship 2-byte, not 4-byte
+    assert np.dtype(wire_dtype(np.float32, jnp.bfloat16)).itemsize == 2
+
+
+def test_host_stack_dtype_mixed_warns():
+    import pytest
+
+    from paths_tpu.engine.tables import host_stack_dtype
+
+    assert host_stack_dtype([np.dtype(np.float16)] * 3) == np.float16
+    with pytest.warns(UserWarning, match="mixes storage dtypes"):
+        # widest wins regardless of order (a resumed run can mix dtypes)
+        assert host_stack_dtype(
+            [np.float16, np.float32, np.float16]) == np.float32
+
+
+def test_level0_bag_ships_storage_dtype(tmp_path):
+    """collate_bag0 must put the level-0 features at the f16 storage dtype
+    (upcast to table_dtype happens ON DEVICE) — the bag is part of every
+    serving request's H2D bytes."""
+    import jax.numpy as jnp
+
+    from paths_tpu.data.dataset import collate_bag0
+
+    _, ds32, cfg16, ds16 = _setup_stores(tmp_path)
+    shipped = []
+
+    def put(a):
+        shipped.append(np.dtype(a.dtype))
+        return jnp.asarray(a)
+
+    bag16 = collate_bag0(ds16, [0, 1], level0_bucket=8, put=put)
+    assert np.float16 in shipped          # features crossed at half width
+    assert bag16.fts.dtype == np.dtype(cfg16.table_dtype)  # device upcast
+
+    shipped.clear()
+    collate_bag0(ds32, [0, 1], level0_bucket=8, put=put)
+    assert np.float16 not in shipped      # f32 store still ships f32
+
+
+def test_slide_pyramid_keeps_memmap(tmp_path):
+    """Materializing a pyramid must not copy the store's grids: the
+    loaded arrays stay views of the read-only .npy memmap (evictable
+    page cache, not resident RAM) on the numpy path."""
+    import paths_tpu.native as native
+    from paths_tpu.data.slide import SlidePyramid
+
+    store = FeatureStore(str(tmp_path / "st"), create=True)
+    rng = np.random.default_rng(0)
+    for power in (2.5, 5.0):
+        g = rng.normal(size=(4, 4, 8)).astype(np.float32)
+        g[rng.uniform(size=(4, 4)) > 0.6] = 0
+        store.save("s", power, g)
+
+    saved = native._lib, native._tried
+    native._lib, native._tried = None, True   # force the numpy path
+    try:
+        s = SlidePyramid("s", store, 2.5, num_levels=2, patch_size=16,
+                         preload=True)
+        base = s.level0[0]
+        hit_memmap = False
+        while isinstance(base, np.ndarray):   # reshape view -> memmap
+            if isinstance(base, np.memmap):
+                hit_memmap = True
+                break
+            base = base.base
+        assert hit_memmap
+    finally:
+        native._lib, native._tried = saved
+
+
+def test_resume_dtype_mismatch_warns(tmp_path):
+    """Skip-if-exists resume over grids of another dtype keeps them but
+    warns (the silent alternative is a mixed store nobody asked for)."""
+    import pytest
+
+    img = _fake_slide()
+    p = os.path.join(str(tmp_path), "s.npy")
+    np.save(p, img)
+    encode, dim = _dummy_encoder()
+    kw = dict(patch_size=128, batch_size=4, threads=2, default_power=10.0,
+              stage_h2d=False)
+
+    store = FeatureStore(str(tmp_path / "o"), create=True)
+    process_slides([(p, "s")], encode, dim, [10.0], store, **kw)
+    assert np.asarray(store.load("s", 10.0)).dtype == np.float32
+
+    with pytest.warns(UserWarning, match="store_dtype"):
+        process_slides([(p, "s")], encode, dim, [10.0], store,
+                       store_dtype="float16", **kw)
+    # untouched: the old f32 grid was kept
+    assert np.asarray(store.load("s", 10.0)).dtype == np.float32
+
+
 def test_preprocess_cli_store_dtype(tmp_path):
     img = _fake_slide(rows=448, cols=448)
     d = tmp_path / "slides"
