@@ -67,6 +67,13 @@ def main(argv=None):
                              "store size, host RAM, and collation wire "
                              "bytes (the encoder computes in bf16, so f32 "
                              "grids carry no extra information)")
+    parser.add_argument("--store-format", type=str, default="npy",
+                        choices=("npy", "pt"),
+                        help="npy (native, memory-mappable) or pt "
+                             "(reference-format torch tensors the "
+                             "reference's `preprocess/loader.py:14-18` "
+                             "loads directly — lets its training script "
+                             "consume a paths_tpu-preprocessed store)")
     parser.add_argument("--fast-math", action="store_true",
                         help="tanh-GELU encoder variant (~20%% faster, "
                              "~1e-3 relative feature error vs timm)")
@@ -99,7 +106,8 @@ def main(argv=None):
 
         mesh = make_mesh(args.data_shards)
 
-    store = FeatureStore(args.out, create=True)
+    store = FeatureStore(args.out, create=True,
+                         save_format=args.store_format)
     slide_files = sorted(f for f in os.listdir(args.dir)
                          if f.endswith(args.ext))
     print(f"Preprocessing {len(slide_files)} slides "

@@ -8,7 +8,12 @@ H x W x D, with all-zero rows marking background.
 Native format is `.npy` (zero-copy memory-mappable — the TPU data path
 streams rows straight out of the page cache). Reference `.pt` files are
 read transparently when torch is importable, so a user can point the
-framework at an existing PATHS preprocess directory.
+framework at an existing PATHS preprocess directory — and a store
+created with `save_format="pt"` writes grids the reference's own loader
+(`preprocess/loader.py:14-18` `torch.load`) consumes directly, so a
+paths_tpu-preprocessed store can feed the reference's training script
+(interop both ways; the checkpoint counterpart is
+`convert.save_torch_checkpoint`).
 """
 from __future__ import annotations
 
@@ -21,12 +26,15 @@ from paths_tpu.config import power_str
 
 
 class FeatureStore:
-    def __init__(self, root: str, create: bool = False):
+    def __init__(self, root: str, create: bool = False,
+                 save_format: str = "npy"):
         if create:
             os.makedirs(root, exist_ok=True)
         assert os.path.isdir(root), (
             f"Preprocessing root directory '{root}' not found!")
+        assert save_format in ("npy", "pt"), save_format
         self.root = root
+        self.save_format = save_format
 
     def _base(self, slide_id: str, power: float) -> str:
         return os.path.join(self.root, f"{slide_id}_{power_str(power)}")
@@ -52,6 +60,17 @@ class FeatureStore:
 
     def save(self, slide_id: str, power: float, grid: np.ndarray) -> str:
         assert grid.ndim == 3, f"grid must be H x W x D, got {grid.shape}"
+        if self.save_format == "pt":
+            # reference-consumable grids: a plain float32 tensor, the
+            # exact object `preprocess/preprocess.py:141` torch.saves and
+            # `preprocess/loader.py:14-18` torch.loads (f16 grids are
+            # upcast — the reference's model math expects f32 features)
+            import torch
+
+            p = self._base(slide_id, power) + ".pt"
+            torch.save(torch.from_numpy(
+                np.ascontiguousarray(grid, dtype=np.float32)), p)
+            return p
         p = self._base(slide_id, power) + ".npy"
         np.save(p, grid)
         return p
