@@ -18,7 +18,13 @@ never inflate it. This is a torch-on-one-CPU-core comparison, NOT the A100
 north star — read it as "the TPU path works and is fast", not as the
 paper-grade speedup.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Emission contract: the LAST stdout line is always one parseable JSON
+record {"metric", "value", "unit", "vs_baseline", ...}. The record is
+re-printed (flushed) after every completed section and a wall-clock
+budget (`PATHS_TPU_BENCH_BUDGET_S`, default 900s) skips sections that
+would overrun — so a driver timeout at any point still leaves a full
+partial record, with skipped sections listed in "truncated" and raising
+sections in "failed" (round 4's record was lost to exactly this).
 """
 from __future__ import annotations
 
@@ -70,7 +76,7 @@ def build_batch(cfg: Config, seed: int = 0):
                              level0_bucket=cfg.level0_bucket)
 
 
-def bench_tpu(cfg: Config, batch) -> float:
+def bench_tpu(cfg: Config, batch, shared: dict | None = None) -> float:
     """Steady-state seconds per training step.
 
     Steps chain through donated params, and the final loss is pulled to
@@ -78,6 +84,11 @@ def bench_tpu(cfg: Config, batch) -> float:
     step in the chain has executed, which is the only reliable
     materialization barrier on remote-tunneled devices where
     `block_until_ready` can return early.
+
+    When `shared` is given, the warm step closure and its live state are
+    stashed under `shared["train_state"]` so later sections (the
+    device-busy profile) can reuse the already-compiled program without
+    paying this tunnel's 30-200s first-execution penalty again.
     """
     bag0, tables, labels = batch
     params = recursive_init(jax.random.PRNGKey(0), cfg)
@@ -102,7 +113,56 @@ def bench_tpu(cfg: Config, batch) -> float:
         dt = (time.perf_counter() - t0) / ITERS
         if window > 0:
             best = min(best, dt)
+    if shared is not None:
+        shared["train_state"] = (update, params, opt_state, bag0, tables,
+                                 labels, rng)
+        shared["train_step_s"] = best
     return best
+
+
+def bench_device_busy(shared: dict, steps: int = 20) -> dict:
+    """Device-busy fraction of the flagship train step (VERDICT r4 #7):
+    untraced wall per step vs summed XLA-op device time from a perfetto
+    trace of the SAME warm program (`tools/profile_step.py` lane
+    filtering). A dispatch-overhead regression shows up here before it
+    shows up as a mysteriously slower headline number."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import profile_step as ps
+
+    update, params, opt_state, bag0, tables, labels, rng = \
+        shared["train_state"]
+
+    # untraced wall (the denominator): the program is warm — time it
+    # without the profiler so trace start/stop cost can't inflate it
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss, _ = update(params, opt_state, bag0,
+                                            tables, labels, rng)
+    float(loss)
+    wall_us = (time.perf_counter() - t0) / steps * 1e6
+
+    logdir = tempfile.mkdtemp(prefix="paths_tpu_bench_prof_")
+    try:
+        jax.profiler.start_trace(logdir, create_perfetto_trace=True)
+        try:
+            for _ in range(steps):
+                params, opt_state, loss, _ = update(params, opt_state, bag0,
+                                                    tables, labels, rng)
+            float(loss)
+        finally:
+            jax.profiler.stop_trace()
+        _, _, total_us = ps.device_op_table(ps._load_perfetto(logdir))
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+    busy_us = total_us / steps
+    return {
+        "train_step_device_busy_ms": round(busy_us / 1e3, 2),
+        "train_step_device_busy_frac": round(min(busy_us / wall_us, 1.0), 3),
+    }
 
 
 def bench_encoder(encoder: str = "UNI", batch_size: int = 256,
@@ -386,6 +446,103 @@ def bench_inference(cfg: Config, ds, iters: int = 20) -> dict:
     return {"inference_slide_ms": round(best * 1e3, 2)}
 
 
+def _serving_model_dir(cfg: Config) -> str:
+    """Materialize a servable model dir (config + random-init checkpoint)
+    next to the bench store. Serving only needs a loadable checkpoint;
+    latency is weight-value independent."""
+    from paths_tpu.models.recursive import recursive_init
+    from paths_tpu.train.state import save_state
+
+    model_dir = os.path.join(os.path.dirname(cfg.preprocess_dir),
+                             "serve_model")
+    if not os.path.isfile(os.path.join(model_dir, "model.npz")):
+        os.makedirs(model_dir, exist_ok=True)
+        cfg.save(model_dir)
+        save_state(model_dir, recursive_init(jax.random.PRNGKey(0), cfg),
+                   None, {"epoch": 1})
+    return model_dir
+
+
+def _predict_latency(sess, ids, hits: int = 20, misses: int = 6) -> dict:
+    """Warm p50/p99 of single-slide `predict` for one session.
+
+    Hit = repeat request (device batch cache skips collation + the
+    feature H2D, the dominant serving cost on this host's ~30 MB/s link);
+    miss = rotating distinct slides beyond the LRU capacity, paying
+    collation + wire each time."""
+    sess.predict([ids[0]])                      # compile + warm
+    rot = (ids * ((misses // len(ids)) + 2))[:max(misses, 1)]
+    t_miss = []
+    for sid in rot:                             # evict, then time misses
+        sess._batch_cache.clear()
+        t0 = time.perf_counter()
+        sess.predict([sid])
+        t_miss.append(time.perf_counter() - t0)
+    t_hit = []
+    sess.predict([ids[0]])                      # ensure resident
+    for _ in range(hits):
+        t0 = time.perf_counter()
+        sess.predict([ids[0]])
+        t_hit.append(time.perf_counter() - t0)
+    t_hit.sort()
+    t_miss.sort()
+    return {
+        "p50_ms": round(t_hit[len(t_hit) // 2] * 1e3, 2),
+        "p99_ms": round(t_hit[min(len(t_hit) - 1,
+                                  int(len(t_hit) * 0.99))] * 1e3, 2),
+        "miss_p50_ms": round(t_miss[len(t_miss) // 2] * 1e3, 2),
+    }
+
+
+def bench_serving(cfg: Config) -> dict:
+    """Serving latency as a standing bench field (VERDICT r4 #5): warm
+    p50/p99 of single-slide `predict` on a LIVE session over the bench
+    store, batch-cache hit and miss. The reference has no serving layer
+    (inference exists only inside `train.py:106-116`); BASELINE.json
+    workload #1 is the nearest anchor."""
+    from paths_tpu.serve import ServingSession
+
+    sess = ServingSession(_serving_model_dir(cfg), batch_size=4)
+    ids = sess.slide_ids[:6]
+    lat = _predict_latency(sess, ids)
+    return {"serving_p50_ms": lat["p50_ms"],
+            "serving_p99_ms": lat["p99_ms"],
+            "serving_miss_p50_ms": lat["miss_p50_ms"]}
+
+
+def bench_serving_artifact(cfg: Config) -> dict:
+    """Same latency probe through a frozen StableHLO artifact session
+    (zero model code in the hot path, exact export-time shapes)."""
+    import tempfile
+
+    from paths_tpu.data.dataset import collate_batch
+    from paths_tpu.data.feature_store import FeatureStore
+    from paths_tpu.export import export_serving
+    from paths_tpu.models.recursive import recursive_init
+    from paths_tpu.serve import (ServingSession, serving_dataset,
+                                 store_slide_ids)
+    from paths_tpu.train.state import load_state
+
+    model_dir = _serving_model_dir(cfg)
+    store = FeatureStore(cfg.preprocess_dir)
+    ids = store_slide_ids(store, cfg.base_power)
+    ds = serving_dataset(cfg, store, ids)
+    pads = ds.global_pads()
+    bag, tables, _ = collate_batch(ds, [0], level0_bucket=1, row_bucket=1,
+                                   grid_bucket=1, pads=pads)
+    params = recursive_init(jax.random.PRNGKey(0), cfg)
+    params, _, _ = load_state(model_dir, params, config=cfg)
+    art = os.path.join(tempfile.mkdtemp(prefix="paths_tpu_bench_art_"),
+                       "m.shlo")
+    with open(art, "wb") as f:
+        f.write(export_serving(cfg, params, bag, tables, freeze_params=True))
+    sess = ServingSession(model_dir, artifact=art)
+    lat = _predict_latency(sess, ids[:6])
+    return {"serving_artifact_p50_ms": lat["p50_ms"],
+            "serving_artifact_p99_ms": lat["p99_ms"],
+            "serving_artifact_miss_p50_ms": lat["miss_p50_ms"]}
+
+
 def bench_kernel_parity(small: bool = False) -> dict:
     """On-chip numerics certification of every Pallas path (VERDICT r3
     #1): the fused attn+MLP block pair, the single-kernel fused block,
@@ -635,16 +792,77 @@ def _build_native() -> None:
         print(f"native build skipped: {e}", file=sys.stderr)
 
 
+def _run_sections(record: dict, sections, budget_s: float, stream,
+                  t_start: float | None = None) -> dict:
+    """Budget-aware section runner (VERDICT r4 #1): re-prints the FULL
+    JSON record after every section, flushed, so a kill at ANY point
+    leaves the last line parseable with everything measured so far.
+    `sections` is [(name, est_cost_s, fn)]; a section whose estimated
+    cost no longer fits the wall-clock budget is skipped and listed in
+    `record["truncated"]`; a section that raises lands in
+    `record["failed"]` without sinking the record."""
+    t0 = time.monotonic() if t_start is None else t_start
+
+    def emit():
+        stream.write(json.dumps(record) + "\n")
+        stream.flush()
+
+    emit()   # a parseable line exists before any (possibly slow) section
+    for name, cost_s, fn in sections:
+        if time.monotonic() - t0 + cost_s > budget_s:
+            record["truncated"].append(name)
+            print(f"bench: budget exhausted, skipping {name}",
+                  file=sys.stderr)
+            emit()
+            continue
+        try:
+            record.update(fn() or {})
+        except Exception:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            record["failed"].append(name)
+        emit()
+    return record
+
+
 def main():
     _build_native()
     setup_compilation_cache()
+    # wall-clock budget: sections whose estimated cost would overrun it
+    # are skipped (round 4's official record was a driver TIMEOUT with no
+    # JSON at all — never again)
+    budget = float(os.environ.get("PATHS_TPU_BENCH_BUDGET_S", "900"))
+    t_start = time.monotonic()
     tmp = os.environ.get("PATHS_TPU_BENCH_DIR", "/tmp/paths_tpu_bench")
     os.makedirs(tmp, exist_ok=True)
     cfg = flagship_config(tmp)
-
     ds, batch = build_batch(cfg)
-    t_tpu = bench_tpu(cfg, batch)
-    tpu_sps = B / t_tpu
+
+    record = {
+        "metric": "hierarchical train-step throughput (brca_paths_0, B=32, synthetic BRCA-shaped pyramids)",
+        "value": None,
+        "unit": "slides/sec",
+        "vs_baseline": None,
+        "device": str(jax.devices()[0]),
+        "truncated": [],
+        "failed": [],
+    }
+    shared: dict = {}
+
+    def sec_train():
+        t = bench_tpu(cfg, batch, shared)
+        return {"value": round(B / t, 2), "tpu_step_ms": round(t * 1e3, 2)}
+
+    def sec_torch():
+        t_ref = bench_reference_torch(cfg)
+        ref_sps = B / t_ref
+        out = {"baseline_slides_per_sec_torch_host": round(ref_sps, 2)}
+        if record["value"]:
+            # conservative by construction: see BASELINE_FLOOR_SPS
+            out["vs_baseline"] = round(
+                record["value"] / max(ref_sps, BASELINE_FLOOR_SPS), 2)
+        return out
 
     from paths_tpu.encoders import vit as _vit
 
@@ -652,79 +870,47 @@ def main():
     peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
                 None)
 
-    def encoder_fields(name, spec, prefix, block_impl="auto"):
-        try:
+    def enc_sec(name, spec, prefix, block_impl="auto"):
+        def run():
             ips = bench_encoder(name, block_impl=block_impl)
-        except Exception as e:
-            print(f"{name} encoder bench failed: {e}", file=sys.stderr)
-            return {}
-        out = {f"{prefix}_encode_img_per_sec": round(ips, 1)}
-        if peak:
-            # against the chip's BF16 peak in all cases: int8 runs at the
-            # same MXU rate here (measured — its win is halved weight
-            # bytes), so >= the bf16 figure means "beats the bf16 path"
-            out[f"{prefix}_encode_mfu"] = round(
-                ips * vit_flops_per_image(spec) / peak, 3)
-        return out
+            out = {f"{prefix}_encode_img_per_sec": round(ips, 1)}
+            if peak:
+                # against the chip's BF16 peak in all cases: int8 runs at
+                # the same MXU rate here (measured — its win is halved
+                # weight bytes), so >= the bf16 figure means "beats bf16"
+                out[f"{prefix}_encode_mfu"] = round(
+                    ips * vit_flops_per_image(spec) / peak, 3)
+            return out
+        return run
 
-    enc = encoder_fields("UNI", _vit.UNI, "uni_vitl")
-    enc |= encoder_fields("Virchow2", _vit.VIRCHOW2, "virchow2")
-    # opt-in int8 path (block_impl="int8"): ~1e-2 relative feature error,
-    # certified by kernel_parity's int8_vs_* fields each run
-    enc |= encoder_fields("UNI", _vit.UNI, "uni_vitl_int8",
-                          block_impl="int8")
-    # Virchow2's SwiGLU blocks gain more from int8 (1.49x measured:
-    # 273 -> 406 img/s) — its fc1/fc3 weight DMA dominates the block
-    enc |= encoder_fields("Virchow2", _vit.VIRCHOW2, "virchow2_int8",
-                          block_impl="int8")
-
-    try:
-        pre = bench_preprocess()
-    except Exception as e:
-        print(f"preprocess bench failed: {e}", file=sys.stderr)
-        pre = {}
-
-    try:
-        kp = bench_kernel_parity()
-    except Exception as e:
-        print(f"kernel parity bench failed: {e}", file=sys.stderr)
-        kp = {}
-
-    try:
-        inf = bench_inference(cfg, ds)
-    except Exception as e:
-        print(f"inference bench failed: {e}", file=sys.stderr)
-        inf = {}
-
-    try:
-        hm = bench_heatmap(cfg)
-    except Exception as e:
-        print(f"heatmap bench failed: {e}", file=sys.stderr)
-        hm = {}
-
-    try:
-        t_ref = bench_reference_torch(cfg)
-        ref_sps = B / t_ref
-        # conservative by construction: see BASELINE_FLOOR_SPS
-        vs = tpu_sps / max(ref_sps, BASELINE_FLOOR_SPS)
-    except Exception as e:  # torch baseline is best-effort
-        print(f"reference baseline failed: {e}", file=sys.stderr)
-        ref_sps, vs = None, None
-
-    print(json.dumps({
-        "metric": "hierarchical train-step throughput (brca_paths_0, B=32, synthetic BRCA-shaped pyramids)",
-        "value": round(tpu_sps, 2),
-        "unit": "slides/sec",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "tpu_step_ms": round(t_tpu * 1e3, 2),
-        "baseline_slides_per_sec_torch_host": round(ref_sps, 2) if ref_sps else None,
-        **enc,
-        **pre,
-        **kp,
-        **inf,
-        **hm,
-        "device": str(jax.devices()[0]),
-    }))
+    # ordered fast-and-essential first: the headline train step, then the
+    # fields VERDICT r4 named for the round record; estimated costs are
+    # warm-cache worst cases incl. this tunnel's 30-200s first-execution
+    # penalty per program (CLAUDE.md)
+    sections = [
+        ("train_step", 300, sec_train),
+        ("device_busy", 60, lambda: bench_device_busy(shared)),
+        ("torch_baseline", 60, sec_torch),
+        ("uni_bf16", 120, enc_sec("UNI", _vit.UNI, "uni_vitl")),
+        ("virchow2_bf16", 150,
+         enc_sec("Virchow2", _vit.VIRCHOW2, "virchow2")),
+        # opt-in int8 path (block_impl="int8"): ~1e-2 relative feature
+        # error, certified by kernel_parity's int8_vs_* fields each run.
+        # Virchow2's SwiGLU blocks gain more from int8 (1.49x measured:
+        # 273 -> 406 img/s) — fc1/fc3 weight DMA dominates the block
+        ("uni_int8", 120,
+         enc_sec("UNI", _vit.UNI, "uni_vitl_int8", block_impl="int8")),
+        ("virchow2_int8", 150,
+         enc_sec("Virchow2", _vit.VIRCHOW2, "virchow2_int8",
+                 block_impl="int8")),
+        ("inference", 90, lambda: bench_inference(cfg, ds)),
+        ("serving", 150, lambda: bench_serving(cfg)),
+        ("kernel_parity", 240, bench_kernel_parity),
+        ("preprocess", 330, bench_preprocess),
+        ("heatmap", 210, lambda: bench_heatmap(cfg)),
+        ("serving_artifact", 180, lambda: bench_serving_artifact(cfg)),
+    ]
+    _run_sections(record, sections, budget, sys.stdout, t_start)
 
 
 if __name__ == "__main__":

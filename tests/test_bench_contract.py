@@ -110,6 +110,84 @@ def test_bench_inference_smoke(tmp_path):
     assert set(r) == {"inference_slide_ms"} and r["inference_slide_ms"] > 0
 
 
+def test_run_sections_failsafe_json():
+    """VERDICT r4 #1(c): a parseable JSON line must survive a raising
+    sub-bench AND a budget expiry — the last stdout line always carries
+    everything measured so far."""
+    import io
+    import json
+
+    record = {"metric": "m", "value": None, "unit": "u",
+              "vs_baseline": None, "truncated": [], "failed": []}
+    out = io.StringIO()
+
+    def ok():
+        return {"value": 1.5}
+
+    def boom():
+        raise RuntimeError("sub-bench exploded")
+
+    slow = ("slow", 1e9, lambda: {"never": True})   # can't fit any budget
+    bench._run_sections(record, [("ok", 0, ok), ("boom", 0, boom), slow],
+                        budget_s=60.0, stream=out)
+    lines = [ln for ln in out.getvalue().splitlines() if ln.strip()]
+    # one line before any section + one after each of the 3 sections
+    assert len(lines) == 4
+    for ln in lines:
+        json.loads(ln)                      # every line parses
+    last = json.loads(lines[-1])
+    assert last["value"] == 1.5
+    assert last["failed"] == ["boom"]
+    assert last["truncated"] == ["slow"]
+    assert "never" not in last
+
+
+def test_run_sections_zero_budget_still_emits():
+    """Even with the budget already spent, the record is printed with all
+    sections truncated (driver parses the last line, never null)."""
+    import io
+    import json
+    import time
+
+    record = {"metric": "m", "value": None, "unit": "u",
+              "vs_baseline": None, "truncated": [], "failed": []}
+    out = io.StringIO()
+    bench._run_sections(record, [("a", 1, lambda: {"x": 1})], budget_s=0.0,
+                        stream=out, t_start=time.monotonic() - 10)
+    last = json.loads(out.getvalue().splitlines()[-1])
+    assert last["truncated"] == ["a"] and "x" not in last
+
+
+def test_bench_serving_smoke(tmp_path):
+    """Serving-latency section (VERDICT r4 #5) on a tiny config + store:
+    field names and positivity; the driver runs it at flagship shape."""
+    import os
+
+    from paths_tpu.config import Config, PATHSProcessorConfig
+    from paths_tpu.data.synthetic import (make_synthetic_metadata,
+                                          make_synthetic_store)
+
+    mc = PATHSProcessorConfig(patch_embed_dim=16, trans_dim=8, trans_heads=2,
+                              trans_layers=1, importance_mlp_hidden_dim=8,
+                              hierarchical_ctx_mlp_hidden_dim=8,
+                              pos_encoding_mode="2d", dropout=0.0)
+    cfg = Config(model_config=mc, num_levels=2, top_k_patches=2, nbins=2,
+                 task="survival", batch_size=4, level0_bucket=16,
+                 csv_path=os.path.join(str(tmp_path), "meta.csv.zip"),
+                 preprocess_dir=os.path.join(str(tmp_path), "store"),
+                 wsi_dir=os.path.join(str(tmp_path), "brca"))
+    ids = make_synthetic_store(cfg.preprocess_dir, cfg, num_slides=4,
+                               base_hw=(3, 3))
+    make_synthetic_metadata(cfg.csv_path, ids)
+    r = bench.bench_serving(cfg)
+    assert set(r) == {"serving_p50_ms", "serving_p99_ms",
+                      "serving_miss_p50_ms"}
+    assert all(v > 0 for v in r.values())
+    # a cache hit skips collation + H2D; it must not be slower than the
+    # miss path by more than timer noise
+    assert r["serving_p50_ms"] <= r["serving_miss_p50_ms"] * 3
+
+
 def test_bench_heatmap_smoke():
     """The heatmap workload block end to end (tiled-JPEG write, raw-slide
     recursion, PDF) on a tiny config + small encoder."""
