@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from paths_tpu.config import Config
 from paths_tpu.engine.hierarchy import finish_step, select_children, task_loss
-from paths_tpu.engine.tables import host_stack_dtype, wire_dtype
+from paths_tpu.engine.tables import host_stack_dtype, ship_at_wire_dtype
 from paths_tpu.models.batch import PatchBag
 from paths_tpu.models.recursive import recursive_apply
 
@@ -172,23 +172,17 @@ class StreamingEngine:
                     (sel["child_locs"], sel["child_kvalid"]))
                 lk = lookup_host(np.asarray(locs_h), np.asarray(kvalid_h),
                                  [ts[i] for ts in host_tables])
-                # ship at the narrower of storage/table dtype (an f32
-                # store with bf16 tables downcasts HOST-side rather than
-                # shipping double bytes; see engine.tables.wire_dtype)
-                wd = wire_dtype(lk["fts"].dtype, jnp.dtype(cfg.table_dtype))
-                if lk["fts"].dtype != wd:
-                    lk = {**lk, "fts": lk["fts"].astype(wd)}
-                if self._shard is not None:
-                    lk_dev = jax.device_put(lk, self._shard)
-                else:
-                    lk_dev = {k: jnp.asarray(v) for k, v in lk.items()}
-                # f16 stores gather f16 bags: ship the half-width bytes
-                # over the (RTT/bandwidth-bound) link, then upcast to the
-                # configured compute-table dtype on device
-                want = jnp.dtype(cfg.table_dtype)
-                if lk_dev["fts"].dtype != want:
-                    lk_dev = {**lk_dev,
-                              "fts": lk_dev["fts"].astype(want)}
+                # one paired dtype decision: cross the link at the
+                # narrower of storage/table dtype, arrive at the compute
+                # table dtype (f16 stores ship half-width bytes over the
+                # RTT/bandwidth-bound link; f32 stores with bf16 tables
+                # downcast HOST-side rather than shipping double bytes)
+                lk_dev = ship_at_wire_dtype(
+                    lk, cfg.table_dtype,
+                    (lambda t: jax.device_put(t, self._shard))
+                    if self._shard is not None
+                    else (lambda t: {k: jnp.asarray(v)
+                                     for k, v in t.items()}))
                 if record:
                     recorded.append(lk_dev)
                 bag = self._finish(sel, lk_dev)

@@ -91,18 +91,30 @@ def build_level_table(grid: np.ndarray, min_rows: int = 0):
             "index": index, "grid_hw": np.array([h, w], np.int32)}
 
 
+_warned_mixed_dtypes: set = set()
+
+
 def host_stack_dtype(dtypes: Sequence[np.dtype]) -> np.dtype:
     """Dtype a batch of host feature arrays stacks at: the widest input
     (deterministic regardless of batch order; a resumed preprocess run
-    with a changed --store-dtype can legally mix f16 and f32 grids)."""
+    with a changed --store-dtype can legally mix f16 and f32 grids).
+
+    The mixed-dtype warning fires once per process per dtype pair and is
+    attributed to the collation/lookup CALL SITE (stacklevel=2) — the
+    streaming engine calls this every level of every batch, so repeating
+    it would drown the signal (ADVICE r4)."""
     uniq = {np.dtype(d) for d in dtypes}
     if len(uniq) > 1:
-        import warnings
+        key = tuple(sorted(map(str, uniq)))
+        if key not in _warned_mixed_dtypes:
+            _warned_mixed_dtypes.add(key)
+            import warnings
 
-        warnings.warn(
-            f"feature batch mixes storage dtypes {sorted(map(str, uniq))}; "
-            "stacking at the widest. Re-preprocess with one --store-dtype "
-            "to reclaim the f16 wire/RAM savings.")
+            warnings.warn(
+                f"feature batch mixes storage dtypes "
+                f"{sorted(map(str, uniq))}; stacking at the widest. "
+                "Re-preprocess with one --store-dtype to reclaim the f16 "
+                "wire/RAM savings.", stacklevel=2)
     return max(uniq, key=lambda d: d.itemsize)
 
 
@@ -117,6 +129,23 @@ def wire_dtype(host_dtype, target_dtype) -> np.dtype:
         return host_dtype
     target = np.dtype(target_dtype)
     return target if target.itemsize < host_dtype.itemsize else host_dtype
+
+
+def ship_at_wire_dtype(lk: dict, table_dtype, put) -> dict:
+    """Place a host lookup dict on device with its feature array crossing
+    the link at `wire_dtype(storage, table_dtype)` and arriving at
+    `table_dtype`. The host-side downcast and the device-side upcast are
+    ONE paired dtype decision (ADVICE r4: encoding it in two places a few
+    lines apart invites silent divergence). `put` maps the whole dict to
+    device arrays (plain `jnp.asarray` or a sharded `jax.device_put`)."""
+    want = jnp.dtype(table_dtype)
+    wd = wire_dtype(lk["fts"].dtype, want)
+    if lk["fts"].dtype != wd:
+        lk = {**lk, "fts": lk["fts"].astype(wd)}
+    dev = put(lk)
+    if dev["fts"].dtype != want:
+        dev = {**dev, "fts": dev["fts"].astype(want)}
+    return dev
 
 
 def stack_tables(tables: Sequence[dict], min_rows: int = 0,
@@ -185,14 +214,13 @@ def level0_bag_arrays(grid: np.ndarray, patch_size: int):
     The reference's level-0 bag is ALL grid cells — background included,
     with zero features (`data_utils/slide.py:258-269`; the in-code comment
     claims filtering but none happens). Returns (fts, locs_pixels, n).
+
+    Deliberately numpy-only: `fts` is a zero-copy reshape VIEW of the
+    grid, so memmapped stores stay evictable page cache instead of
+    resident RAM (a native kernel here could only memcpy — strictly
+    worse; the C path exists for `build_level_table`, where real
+    scan/compact work amortizes it).
     """
-    from paths_tpu import native
-
-    if native.available():
-        out = native.level0_bag_native(grid, patch_size)
-        if out is not None:
-            return out
-
     h, w, d = grid.shape
     fts = grid.reshape(-1, d)
     ys, xs = np.divmod(np.arange(h * w, dtype=np.int32), w)

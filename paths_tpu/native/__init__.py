@@ -32,8 +32,6 @@ def load() -> Optional[ctypes.CDLL]:
                             np.ctypeslib.ndpointer(np.uint8, flags="C"))
     lib.build_level_table.restype = ctypes.c_int64
     lib.build_level_table.argtypes = [f32p, i64, i64, i64, f32p, i32p, i32p, i64]
-    lib.level0_bag.restype = None
-    lib.level0_bag.argtypes = [f32p, i64, i64, i64, i64, f32p, i32p]
     lib.scan_background.restype = ctypes.c_int64
     lib.scan_background.argtypes = [f32p, i64, i64, u8p]
     lib.omp_thread_count.restype = ctypes.c_int
@@ -75,13 +73,7 @@ def build_level_table_native(grid: np.ndarray, min_rows: int = 0) -> Optional[di
             "index": index, "grid_hw": np.array([h, w], np.int32)}
 
 
-def level0_bag_native(grid: np.ndarray, patch_size: int):
-    lib = load()
-    if lib is None or grid.dtype != np.float32:
-        return None  # f32-only (see build_level_table_native)
-    grid = np.ascontiguousarray(grid, np.float32)
-    h, w, d = grid.shape
-    fts = np.empty((h * w, d), np.float32)
-    locs = np.empty((h * w, 2), np.int32)
-    lib.level0_bag(grid.reshape(-1, d), h, w, d, patch_size, fts, locs)
-    return fts, locs, h * w
+# NOTE: there is intentionally no level0_bag binding — the numpy path in
+# engine.tables.level0_bag_arrays returns a zero-copy view of the
+# (memmapped) grid, which a native memcpy can only make worse (ADVICE r4:
+# the copy turned read-only page cache into resident host RAM).

@@ -137,17 +137,11 @@ def test_tiled_reader_native_decode_matches_pil(jpeg_lib, tmp_path):
     pil.close()
 
 
-def test_level0_native_matches_numpy():
+def test_level0_bag_is_zero_copy_view():
+    """level0_bag_arrays must return a VIEW of the grid (memmapped
+    stores stay evictable page cache — ADVICE r4), never a copy."""
     rng = np.random.default_rng(1)
     g = rng.normal(size=(5, 7, 12)).astype(np.float32)
-    nat_f, nat_l, nat_n = native.level0_bag_native(g, 256)
-
-    native._lib, native._tried = None, True
-    try:
-        ref_f, ref_l, ref_n = T.level0_bag_arrays(g, 256)
-    finally:
-        native._lib, native._tried = None, False
-
-    assert nat_n == ref_n
-    np.testing.assert_array_equal(nat_f, ref_f)
-    np.testing.assert_array_equal(nat_l, ref_l)
+    fts, locs, n = T.level0_bag_arrays(g, 256)
+    assert n == 35 and fts.base is g
+    np.testing.assert_array_equal(fts, g.reshape(-1, 12))

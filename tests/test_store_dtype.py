@@ -201,15 +201,25 @@ def test_wire_dtype_narrower_side():
 
 
 def test_host_stack_dtype_mixed_warns():
+    import warnings
+
     import pytest
 
+    from paths_tpu import engine
     from paths_tpu.engine.tables import host_stack_dtype
 
     assert host_stack_dtype([np.dtype(np.float16)] * 3) == np.float16
+    engine.tables._warned_mixed_dtypes.clear()
     with pytest.warns(UserWarning, match="mixes storage dtypes"):
         # widest wins regardless of order (a resumed run can mix dtypes)
         assert host_stack_dtype(
             [np.float16, np.float32, np.float16]) == np.float32
+    # once per process per dtype pair (the streaming engine hits this
+    # every level of every batch — ADVICE r4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert host_stack_dtype(
+            [np.float32, np.float16]) == np.float32
 
 
 def test_level0_bag_ships_storage_dtype(tmp_path):
