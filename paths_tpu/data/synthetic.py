@@ -68,7 +68,9 @@ def signal_direction_z(rng: np.random.Generator, d: int, num_slides: int):
 def make_signal_store(root: str, config: Config, num_slides: int,
                       base_hw=(6, 8), seed: int = 0,
                       tissue_fraction: float = 0.5,
-                      signal_strength: float = 1.0):
+                      signal_strength: float = 1.0,
+                      size_jitter: int = 3,
+                      store_dtype=np.float32):
     """A synthetic store where each slide carries a LEARNABLE risk
     signal: slide i's latent risk z_i shifts every tissue row of every
     level along one fixed feature direction. Paired with
@@ -76,7 +78,13 @@ def make_signal_store(root: str, config: Config, num_slides: int,
     lets an end-to-end training run demonstrate real generalization
     (val/test c-index well above chance) — the closest available proxy
     for the network-blocked real-TCGA validation (BASELINE.md north
-    star). Returns (slide_ids, z) with z standardized across slides."""
+    star). Returns (slide_ids, z) with z standardized across slides.
+
+    `size_jitter` sets the cohort's size spread: base grid dims draw
+    uniformly from [base, base + size_jitter) per axis, so e.g.
+    base_hw=(6, 8), size_jitter=6 spans a ~3x range of patch counts —
+    the shape of a real TCGA-BRCA cohort. `store_dtype=np.float16`
+    mirrors a `--store-dtype float16` preprocess run (same RNG draws)."""
     store = FeatureStore(root, create=True)
     rng = np.random.default_rng(seed)
     d = config.model_config.patch_embed_dim
@@ -85,14 +93,14 @@ def make_signal_store(root: str, config: Config, num_slides: int,
     for i in range(num_slides):
         sid = f"SYN-{i:04d}-01Z-00"
         ids.append(sid)
-        h = base_hw[0] + int(rng.integers(0, 3))
-        w = base_hw[1] + int(rng.integers(0, 3))
+        h = base_hw[0] + int(rng.integers(0, size_jitter))
+        w = base_hw[1] + int(rng.integers(0, size_jitter))
         for lvl, power in enumerate(config.power_levels()):
             grid = synthetic_grid(rng, h * 2**lvl, w * 2**lvl, d,
                                   tissue_fraction)
             tissue = np.abs(grid).sum(-1) > 0
             grid[tissue] += signal_strength * z[i] * direction
-            store.save(sid, power, grid)
+            store.save(sid, power, grid.astype(store_dtype, copy=False))
     return ids, z
 
 

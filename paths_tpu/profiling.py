@@ -19,6 +19,22 @@ from typing import Callable, Dict
 import jax
 
 
+def host_rss_mb() -> float | None:
+    """Current process resident set size in MB (Linux /proc), or None.
+
+    Standing telemetry for the axon client's host-RAM leak (~= total
+    bytes ever device_put, CLAUDE.md): the train loop records it per
+    epoch so long runs prove their memory stays bounded."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+    except OSError:
+        pass
+    return None
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     jax.profiler.start_trace(logdir)

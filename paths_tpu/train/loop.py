@@ -434,9 +434,19 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         reg.flush()
         log.log(train_eval.calculate(train_stats, e) | {"epoch": e})
         train_eval.reset()
+        # standing run telemetry (the epoch-scale soak's evidence that
+        # wall/epoch and host RAM stay bounded — the axon client leaks
+        # host RAM ~= bytes ever device_put, so long runs must show it)
+        from paths_tpu.profiling import host_rss_mb
+
+        train_stats.setdefault("epoch_wall_s", {})[e] = round(
+            time.time() - t0, 2)
+        rss = host_rss_mb()
+        if rss is not None:
+            train_stats.setdefault("host_rss_mb", {})[e] = rss
         if verbose:
             print(f"Epoch {e}/{config.num_epochs} "
-                  f"({time.time() - t0:.1f}s) "
+                  f"({time.time() - t0:.1f}s, rss {rss or 0:.0f}MB) "
                   f"train_loss={train_stats['train_loss'].get(e, float('nan')):.4f}")
 
         # periodic checkpoint (the reference declares `save_epochs` but
