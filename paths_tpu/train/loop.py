@@ -370,12 +370,37 @@ def train_loop(config: Config, model_dir: str, train_ds: SlideDataset,
         eval_batch_cache[key] = list(gen())
         return eval_batch_cache[key]
 
+    def _streaming_eval_batches(dataset, cacheable):
+        """Streaming counterpart of `_eval_batches`: caches the DEVICE
+        side of each eval batch — the collated level-0 bag (the per-batch
+        H2D that dominates eval cost on slow links) plus labels/weights —
+        keyed by dataset. Host tables are NOT cached as arrays: the slide
+        objects re-materialize them from the store's mmaps on access, so
+        the cache holds ~bag-sized HBM, not store-sized host RAM. The
+        per-level gathered lookups still ship fresh each pass (they
+        depend on the live params' selections)."""
+        key = id(dataset)
+        cacheable = cacheable and config.cache_eval_batches
+        cached = eval_batch_cache.get(key) if cacheable else None
+        if cached is not None:
+            for bag0, labels, w, slides in cached:
+                yield bag0, [s_.tables for s_ in slides], labels, w, slides
+            return
+        fresh = []
+        for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
+                dataset, batch_size, shuffle=False, seed=0,
+                mesh_size=mesh_size, config=config, mesh=mesh, pads=pads):
+            if cacheable:
+                fresh.append((bag0, labels, w, slides))
+            yield bag0, host_tables, labels, w, slides
+        if cacheable:
+            eval_batch_cache[key] = fresh
+
     def run_eval(dataset, evaluator, cacheable=False):
         reg = _DeferredRegister(evaluator)
         if streaming:
-            for bag0, host_tables, labels, w, slides in _epoch_batches_streaming(
-                    dataset, batch_size, shuffle=False, seed=0,
-                    mesh_size=mesh_size, config=config, mesh=mesh, pads=pads):
+            for bag0, host_tables, labels, w, slides in \
+                    _streaming_eval_batches(dataset, cacheable):
                 loss, pred = eng.evaluate(params, bag0, host_tables, labels)
                 reg.push(labels, pred, loss, w)
                 if not dataset.cache_slides:

@@ -92,18 +92,22 @@ def test_train_generalizes_on_signal(tmp_path):
         f"(val history {stats.get('val_c-index')})")
 
 
-def test_cache_eval_batches_matches(ds):
+@pytest.mark.parametrize("engine", ["fused", "streaming"])
+def test_cache_eval_batches_matches(ds, engine):
     """cache_eval_batches=True (device-resident eval batches reused
-    across eval epochs) reproduces the uncached run's metrics exactly."""
+    across eval epochs; for streaming, the collated level-0 bag — the
+    per-batch H2D that dominates eval cost on slow links) reproduces the
+    uncached run's metrics exactly, in BOTH engines."""
     import json
 
     tmp, cfg, train, val, test = ds
     cfg.num_epochs = 4
     cfg.eval_epochs = 2
+    cfg.engine = engine
     stats = {}
     for flag in (False, True):
         cfg.cache_eval_batches = flag
-        mdir = os.path.join(tmp, f"model_evcache_{flag}")
+        mdir = os.path.join(tmp, f"model_evcache_{engine}_{flag}")
         train_loop(cfg, mdir, train, val, test, mesh=make_mesh(1),
                    verbose=False)
         lines = open(os.path.join(mdir, "metrics.jsonl")).read().splitlines()
