@@ -137,13 +137,20 @@ def bench_device_busy(shared: dict, steps: int = 20) -> dict:
         shared["train_state"]
 
     # untraced wall (the denominator): the program is warm — time it
-    # without the profiler so trace start/stop cost can't inflate it
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, loss, _ = update(params, opt_state, bag0,
-                                            tables, labels, rng)
-    float(loss)
-    wall_us = (time.perf_counter() - t0) / steps * 1e6
+    # without the profiler so trace start/stop cost can't inflate it.
+    # Best of 3 windows with window 0 discarded: on the tunneled device
+    # the first window after any pause absorbs a re-warm penalty
+    # (CLAUDE.md), which would deflate the busy fraction
+    wall_us = float("inf")
+    for window in range(4):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt_state, loss, _ = update(params, opt_state, bag0,
+                                                tables, labels, rng)
+        float(loss)
+        if window > 0:
+            wall_us = min(wall_us,
+                          (time.perf_counter() - t0) / steps * 1e6)
 
     logdir = tempfile.mkdtemp(prefix="paths_tpu_bench_prof_")
     try:
@@ -463,7 +470,7 @@ def _serving_model_dir(cfg: Config) -> str:
     return model_dir
 
 
-def _predict_latency(sess, ids, hits: int = 20, misses: int = 6) -> dict:
+def _predict_latency(sess, ids, hits: int = 12, misses: int = 4) -> dict:
     """Warm p50/p99 of single-slide `predict` for one session.
 
     Hit = repeat request (device batch cache skips collation + the
@@ -815,6 +822,7 @@ def _run_sections(record: dict, sections, budget_s: float, stream,
                   file=sys.stderr)
             emit()
             continue
+        t_sec = time.monotonic()
         try:
             record.update(fn() or {})
         except Exception:
@@ -822,6 +830,8 @@ def _run_sections(record: dict, sections, budget_s: float, stream,
 
             traceback.print_exc(file=sys.stderr)
             record["failed"].append(name)
+        print(f"bench: {name} took {time.monotonic() - t_sec:.1f}s "
+              f"({time.monotonic() - t0:.0f}s elapsed)", file=sys.stderr)
         emit()
     return record
 
@@ -904,11 +914,14 @@ def main():
          enc_sec("Virchow2", _vit.VIRCHOW2, "virchow2_int8",
                  block_impl="int8")),
         ("inference", 90, lambda: bench_inference(cfg, ds)),
-        ("serving", 150, lambda: bench_serving(cfg)),
+        # preprocess ahead of serving/kernels/heatmap: it is BASELINE.md's
+        # north-star workload — if anything must fall to the budget, let
+        # it be the auxiliary sections
+        ("preprocess", 300, bench_preprocess),
         ("kernel_parity", 240, bench_kernel_parity),
-        ("preprocess", 330, bench_preprocess),
-        ("heatmap", 210, lambda: bench_heatmap(cfg)),
-        ("serving_artifact", 180, lambda: bench_serving_artifact(cfg)),
+        ("serving", 120, lambda: bench_serving(cfg)),
+        ("heatmap", 150, lambda: bench_heatmap(cfg)),
+        ("serving_artifact", 150, lambda: bench_serving_artifact(cfg)),
     ]
     _run_sections(record, sections, budget, sys.stdout, t_start)
 
