@@ -172,20 +172,11 @@ def bench_device_busy(shared: dict, steps: int = 20) -> dict:
     }
 
 
-def bench_encoder(encoder: str = "UNI", batch_size: int = 256,
-                  iters: int = 5, block_impl: str = "auto") -> float:
-    """Patch-encode throughput for one encoder, img/s, chained dispatch."""
-    import jax.numpy as jnp
-
-    from paths_tpu.encoders.registry import from_name
-
-    encode, dim, tspec = from_name(encoder, block_impl=block_impl)
-    x = jax.device_put(jnp.asarray(
-        np.random.default_rng(0).random((batch_size, 256, 256, 3),
-                                        dtype=np.float32)))
-    s = float(jnp.sum(encode(x)))  # compile + warm
+def _encoder_windows(encode, x, batch_size: int, iters: int = 5) -> float:
+    """Best steady-state img/s over 4 windows (window 0 discarded — it
+    absorbs the post-compile/re-warm penalty on tunneled devices)."""
     best = 0.0
-    for window in range(4):   # discard window 0 (post-compile penalty)
+    for window in range(4):
         t0 = time.perf_counter()
         acc = None
         for _ in range(iters):
@@ -195,6 +186,44 @@ def bench_encoder(encoder: str = "UNI", batch_size: int = 256,
         if window > 0:
             best = max(best, ips)
     return best
+
+
+def bench_encoder(encoder: str = "UNI", batch_size: int = 256,
+                  iters: int = 5, block_impl: str = "auto") -> float:
+    """Patch-encode throughput for one encoder, img/s, chained dispatch."""
+    from paths_tpu.encoders.registry import from_name
+
+    encode, dim, tspec = from_name(encoder, block_impl=block_impl)
+    x = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).random((batch_size, 256, 256, 3),
+                                        dtype=np.float32)))
+    float(jnp.sum(encode(x)))  # compile + warm
+    return _encoder_windows(encode, x, batch_size, iters)
+
+
+def prewarm_encoders(shared: dict, specs, batch_size: int = 256) -> dict:
+    """Build every encoder variant and dispatch ONE batch through each
+    WITHOUT blocking, then block on all results together. This round's
+    measured wall killer is the tunnel's per-(process, program)
+    first-execution penalty (30-600 s, serialized it ate the whole
+    budget: 404 s UNI + 574 s Virchow2 in one run); async dispatch lets
+    the remote-side warm-ups overlap instead of paying them one by one.
+    The warm closures land in shared["encoders"] for the per-variant
+    timing sections."""
+    from paths_tpu.encoders.registry import from_name
+
+    x = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).random((batch_size, 256, 256, 3),
+                                        dtype=np.float32)))
+    built, accs = {}, []
+    for prefix, name, spec, impl in specs:
+        encode, _, _ = from_name(name, block_impl=impl)
+        accs.append(jnp.sum(encode(x)))     # async: penalties overlap
+        built[prefix] = (encode, spec)
+    for a in accs:
+        float(a)                            # one barrier for all four
+    shared["encoders"] = (x, batch_size, built)
+    return {}
 
 
 def make_synthetic_slide(grid_hw=(32, 40), patch: int = 256,
@@ -880,9 +909,11 @@ def main():
     peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
                 None)
 
-    def enc_sec(name, spec, prefix, block_impl="auto"):
+    def enc_sec(prefix):
         def run():
-            ips = bench_encoder(name, block_impl=block_impl)
+            x, bsz, built = shared["encoders"]
+            encode, spec = built[prefix]
+            ips = _encoder_windows(encode, x, bsz)
             out = {f"{prefix}_encode_img_per_sec": round(ips, 1)}
             if peak:
                 # against the chip's BF16 peak in all cases: int8 runs at
@@ -893,26 +924,36 @@ def main():
             return out
         return run
 
+    def enc_release():
+        shared.pop("encoders", None)   # free the four variants' HBM
+        return {}
+
     # ordered fast-and-essential first: the headline train step, then the
     # fields VERDICT r4 named for the round record; estimated costs are
     # warm-cache worst cases incl. this tunnel's 30-200s first-execution
     # penalty per program (CLAUDE.md)
+    # opt-in int8 path (block_impl="int8"): ~1e-2 relative feature
+    # error, certified by kernel_parity's int8_vs_* fields each run.
+    # Virchow2's SwiGLU blocks gain more from int8 (1.49x measured:
+    # 273 -> 406 img/s) — fc1/fc3 weight DMA dominates the block
+    ENC_SPECS = [("uni_vitl", "UNI", _vit.UNI, "auto"),
+                 ("virchow2", "Virchow2", _vit.VIRCHOW2, "auto"),
+                 ("uni_vitl_int8", "UNI", _vit.UNI, "int8"),
+                 ("virchow2_int8", "Virchow2", _vit.VIRCHOW2, "int8")]
     sections = [
         ("train_step", 300, sec_train),
         ("device_busy", 60, lambda: bench_device_busy(shared)),
         ("torch_baseline", 60, sec_torch),
-        ("uni_bf16", 120, enc_sec("UNI", _vit.UNI, "uni_vitl")),
-        ("virchow2_bf16", 150,
-         enc_sec("Virchow2", _vit.VIRCHOW2, "virchow2")),
-        # opt-in int8 path (block_impl="int8"): ~1e-2 relative feature
-        # error, certified by kernel_parity's int8_vs_* fields each run.
-        # Virchow2's SwiGLU blocks gain more from int8 (1.49x measured:
-        # 273 -> 406 img/s) — fc1/fc3 weight DMA dominates the block
-        ("uni_int8", 120,
-         enc_sec("UNI", _vit.UNI, "uni_vitl_int8", block_impl="int8")),
-        ("virchow2_int8", 150,
-         enc_sec("Virchow2", _vit.VIRCHOW2, "virchow2_int8",
-                 block_impl="int8")),
+        # one async dispatch per encoder variant so the tunnel's
+        # per-program first-execution penalties overlap instead of
+        # serializing (measured 404 + 574 s back to back)
+        ("encoders_prewarm", 700,
+         lambda: prewarm_encoders(shared, ENC_SPECS)),
+        ("uni_bf16", 30, enc_sec("uni_vitl")),
+        ("virchow2_bf16", 60, enc_sec("virchow2")),
+        ("uni_int8", 30, enc_sec("uni_vitl_int8")),
+        ("virchow2_int8", 60, enc_sec("virchow2_int8")),
+        ("encoders_release", 5, enc_release),
         ("inference", 90, lambda: bench_inference(cfg, ds)),
         # preprocess ahead of kernels/serving/heatmap: it is BASELINE.md's
         # north-star workload — if anything must fall to the budget, let
