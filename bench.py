@@ -212,16 +212,35 @@ def prewarm_encoders(shared: dict, specs, batch_size: int = 256) -> dict:
     timing sections."""
     from paths_tpu.encoders.registry import from_name
 
+    # the train sections are done with their device state (bag + 5-level
+    # tables + opt state, ~GBs); free it before filling HBM with four
+    # encoder variants
+    shared.pop("train_state", None)
     x = jax.device_put(jnp.asarray(
         np.random.default_rng(0).random((batch_size, 256, 256, 3),
                                         dtype=np.float32)))
-    built, accs = {}, []
+    built, entries = {}, []
     for prefix, name, spec, impl in specs:
         encode, _, _ = from_name(name, block_impl=impl)
-        accs.append(jnp.sum(encode(x)))     # async: penalties overlap
         built[prefix] = (encode, spec)
-    for a in accs:
-        float(a)                            # one barrier for all four
+        entries.append(encode)
+    # waves of 2 (specs are ordered so each wave is one model's bf16 +
+    # int8 pair): 4 concurrent batch-256 activation sets on top of all
+    # four variants' resident weights OOMed the chip (run 3,
+    # RESOURCE_EXHAUSTED) — and the failed allocations then poisoned
+    # every later section. On OOM, fall back to fully-serial warm-up.
+    for s in range(0, len(entries), 2):
+        accs = [jnp.sum(e(x)) for e in entries[s:s + 2]]
+        try:
+            for a in accs:
+                float(a)
+        except Exception:
+            del accs
+            print("bench: prewarm wave OOMed; serial fallback",
+                  file=sys.stderr)
+            for e in entries[s:]:
+                float(jnp.sum(e(x)))
+            break
     shared["encoders"] = (x, batch_size, built)
     return {}
 
@@ -936,9 +955,11 @@ def main():
     # error, certified by kernel_parity's int8_vs_* fields each run.
     # Virchow2's SwiGLU blocks gain more from int8 (1.49x measured:
     # 273 -> 406 img/s) — fc1/fc3 weight DMA dominates the block
+    # ordered so prewarm's waves-of-2 pair each model's bf16+int8 (the
+    # smaller UNI activations first)
     ENC_SPECS = [("uni_vitl", "UNI", _vit.UNI, "auto"),
-                 ("virchow2", "Virchow2", _vit.VIRCHOW2, "auto"),
                  ("uni_vitl_int8", "UNI", _vit.UNI, "int8"),
+                 ("virchow2", "Virchow2", _vit.VIRCHOW2, "auto"),
                  ("virchow2_int8", "Virchow2", _vit.VIRCHOW2, "int8")]
     sections = [
         ("train_step", 300, sec_train),
