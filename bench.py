@@ -201,48 +201,14 @@ def bench_encoder(encoder: str = "UNI", batch_size: int = 256,
     return _encoder_windows(encode, x, batch_size, iters)
 
 
-def prewarm_encoders(shared: dict, specs, batch_size: int = 256) -> dict:
-    """Build every encoder variant and dispatch ONE batch through each
-    WITHOUT blocking, then block on all results together. This round's
-    measured wall killer is the tunnel's per-(process, program)
-    first-execution penalty (30-600 s, serialized it ate the whole
-    budget: 404 s UNI + 574 s Virchow2 in one run); async dispatch lets
-    the remote-side warm-ups overlap instead of paying them one by one.
-    The warm closures land in shared["encoders"] for the per-variant
-    timing sections."""
-    from paths_tpu.encoders.registry import from_name
-
-    # the train sections are done with their device state (bag + 5-level
-    # tables + opt state, ~GBs); free it before filling HBM with four
-    # encoder variants
-    shared.pop("train_state", None)
-    x = jax.device_put(jnp.asarray(
-        np.random.default_rng(0).random((batch_size, 256, 256, 3),
-                                        dtype=np.float32)))
-    built, entries = {}, []
-    for prefix, name, spec, impl in specs:
-        encode, _, _ = from_name(name, block_impl=impl)
-        built[prefix] = (encode, spec)
-        entries.append(encode)
-    # waves of 2 (specs are ordered so each wave is one model's bf16 +
-    # int8 pair): 4 concurrent batch-256 activation sets on top of all
-    # four variants' resident weights OOMed the chip (run 3,
-    # RESOURCE_EXHAUSTED) — and the failed allocations then poisoned
-    # every later section. On OOM, fall back to fully-serial warm-up.
-    for s in range(0, len(entries), 2):
-        accs = [jnp.sum(e(x)) for e in entries[s:s + 2]]
-        try:
-            for a in accs:
-                float(a)
-        except Exception:
-            del accs
-            print("bench: prewarm wave OOMed; serial fallback",
-                  file=sys.stderr)
-            for e in entries[s:]:
-                float(jnp.sum(e(x)))
-            break
-    shared["encoders"] = (x, batch_size, built)
-    return {}
+# NOTE on a rejected optimization: dispatching all four encoder variants'
+# first executions asynchronously (to overlap the tunnel's 30-600 s
+# per-program first-execution penalties) OOMs this chip — four variants'
+# resident weights (~5 GB) plus concurrent batch-256 activation sets hit
+# RESOURCE_EXHAUSTED even in waves of two, and the failed allocations
+# poison every later section's device_puts. Encoder sections therefore
+# run serially, one variant resident at a time; the budget + incremental
+# emission absorb the penalty lottery.
 
 
 def make_synthetic_slide(grid_hw=(32, 40), patch: int = 256,
@@ -928,11 +894,9 @@ def main():
     peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)),
                 None)
 
-    def enc_sec(prefix):
+    def enc_sec(name, spec, prefix, block_impl="auto"):
         def run():
-            x, bsz, built = shared["encoders"]
-            encode, spec = built[prefix]
-            ips = _encoder_windows(encode, x, bsz)
+            ips = bench_encoder(name, block_impl=block_impl)
             out = {f"{prefix}_encode_img_per_sec": round(ips, 1)}
             if peak:
                 # against the chip's BF16 peak in all cases: int8 runs at
@@ -943,38 +907,28 @@ def main():
             return out
         return run
 
-    def enc_release():
-        shared.pop("encoders", None)   # free the four variants' HBM
-        return {}
-
     # ordered fast-and-essential first: the headline train step, then the
     # fields VERDICT r4 named for the round record; estimated costs are
     # warm-cache worst cases incl. this tunnel's 30-200s first-execution
     # penalty per program (CLAUDE.md)
-    # opt-in int8 path (block_impl="int8"): ~1e-2 relative feature
-    # error, certified by kernel_parity's int8_vs_* fields each run.
-    # Virchow2's SwiGLU blocks gain more from int8 (1.49x measured:
-    # 273 -> 406 img/s) — fc1/fc3 weight DMA dominates the block
-    # ordered so prewarm's waves-of-2 pair each model's bf16+int8 (the
-    # smaller UNI activations first)
-    ENC_SPECS = [("uni_vitl", "UNI", _vit.UNI, "auto"),
-                 ("uni_vitl_int8", "UNI", _vit.UNI, "int8"),
-                 ("virchow2", "Virchow2", _vit.VIRCHOW2, "auto"),
-                 ("virchow2_int8", "Virchow2", _vit.VIRCHOW2, "int8")]
     sections = [
         ("train_step", 300, sec_train),
         ("device_busy", 60, lambda: bench_device_busy(shared)),
         ("torch_baseline", 60, sec_torch),
-        # one async dispatch per encoder variant so the tunnel's
-        # per-program first-execution penalties overlap instead of
-        # serializing (measured 404 + 574 s back to back)
-        ("encoders_prewarm", 700,
-         lambda: prewarm_encoders(shared, ENC_SPECS)),
-        ("uni_bf16", 30, enc_sec("uni_vitl")),
-        ("virchow2_bf16", 60, enc_sec("virchow2")),
-        ("uni_int8", 30, enc_sec("uni_vitl_int8")),
-        ("virchow2_int8", 60, enc_sec("virchow2_int8")),
-        ("encoders_release", 5, enc_release),
+        # serial encoder sections, one variant resident at a time (see
+        # the rejected-prewarm note above bench_encoder). opt-in int8
+        # path (block_impl="int8"): ~1e-2 relative feature error,
+        # certified by kernel_parity's int8_vs_* fields each run;
+        # Virchow2's SwiGLU blocks gain more from int8 (1.49x measured:
+        # 273 -> 406 img/s) — fc1/fc3 weight DMA dominates the block
+        ("uni_bf16", 150, enc_sec("UNI", _vit.UNI, "uni_vitl")),
+        ("virchow2_bf16", 200,
+         enc_sec("Virchow2", _vit.VIRCHOW2, "virchow2")),
+        ("uni_int8", 150,
+         enc_sec("UNI", _vit.UNI, "uni_vitl_int8", block_impl="int8")),
+        ("virchow2_int8", 200,
+         enc_sec("Virchow2", _vit.VIRCHOW2, "virchow2_int8",
+                 block_impl="int8")),
         ("inference", 90, lambda: bench_inference(cfg, ds)),
         # preprocess ahead of kernels/serving/heatmap: it is BASELINE.md's
         # north-star workload — if anything must fall to the budget, let
