@@ -82,11 +82,17 @@ KAIKO_VITL14 = ViTSpec(patch_size=14, embed_dim=1024, depth=24, num_heads=16)
 
 
 def vit_init(key, spec: ViTSpec, dtype=jnp.float32) -> dict:
-    """Random-init ViT params. Uses numpy RNG (host-side, one shot) rather
-    than per-tensor jitted samplers: an encoder this size would otherwise
-    trigger ~100 tiny XLA compiles just to initialize, and random encoders
-    are only used for shape tests and throughput benchmarks anyway — real
-    runs load converted timm weights."""
+    """Random-init ViT params, entirely HOST-SIDE numpy.
+
+    Two deliberate properties: numpy RNG (per-tensor jitted samplers
+    would trigger ~100 tiny XLA compiles), and numpy LEAVES — on a
+    remote-tunneled device, returning jnp arrays costs one device_put
+    round trip per tensor (~330 for ViT-H, measured ~400 s of every
+    Virchow2 bench section); the caller ships the finished tree in ONE
+    `jax.device_put` (paths_tpu/encoders/registry.py). jnp ops accept
+    numpy leaves directly, so CPU tests are unaffected. Random encoders
+    are only used for shape tests and throughput benchmarks — real runs
+    load converted timm weights."""
     if hasattr(key, "dtype"):  # jax PRNGKey -> derive a numpy seed
         seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
     else:
@@ -94,8 +100,8 @@ def vit_init(key, spec: ViTSpec, dtype=jnp.float32) -> dict:
     rng = np.random.default_rng(seed)
 
     def _trunc_normal(_key_unused, shape, std=0.02, dtype=dtype):
-        return jnp.asarray(
-            np.clip(rng.normal(0.0, std, shape), -2 * std, 2 * std), dtype)
+        return np.clip(rng.normal(0.0, std, shape),
+                       -2 * std, 2 * std).astype(dtype)
 
     d = spec.embed_dim
     keys = [None] * (6 + spec.depth)
@@ -107,12 +113,12 @@ def vit_init(key, spec: ViTSpec, dtype=jnp.float32) -> dict:
             # conv kernel stored (P, P, 3, D) HWIO
             "w": _trunc_normal(keys[0], (spec.patch_size, spec.patch_size, 3, d),
                                std=0.02, dtype=dtype),
-            "b": jnp.zeros((d,), dtype),
+            "b": np.zeros((d,), dtype),
         },
         "cls_token": _trunc_normal(keys[1], (d,), 1e-6, dtype),
         "pos_embed": _trunc_normal(keys[2], (spec.num_patches + n_prefix, d),
                                    0.02, dtype),
-        "norm": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        "norm": {"scale": np.ones((d,), dtype), "bias": np.zeros((d,), dtype)},
         "blocks": [],
     }
     if spec.num_reg_tokens:
@@ -123,29 +129,29 @@ def vit_init(key, spec: ViTSpec, dtype=jnp.float32) -> dict:
         bk = [None] * 8
         h = spec.mlp_hidden_padded
         blk = {
-            "norm1": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "norm1": {"scale": np.ones((d,), dtype), "bias": np.zeros((d,), dtype)},
             "attn": {
                 "qkv_w": _trunc_normal(bk[0], (d, 3 * d), 0.02, dtype),
-                "qkv_b": jnp.zeros((3 * d,), dtype),
+                "qkv_b": np.zeros((3 * d,), dtype),
                 "proj_w": _trunc_normal(bk[1], (d, d), 0.02, dtype),
-                "proj_b": jnp.zeros((d,), dtype),
+                "proj_b": np.zeros((d,), dtype),
             },
-            "norm2": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+            "norm2": {"scale": np.ones((d,), dtype), "bias": np.zeros((d,), dtype)},
             "mlp": ({
                 "fc1_w": _trunc_normal(bk[2], (d, 2 * h), 0.02, dtype),
-                "fc1_b": jnp.zeros((2 * h,), dtype),
+                "fc1_b": np.zeros((2 * h,), dtype),
                 "fc2_w": _trunc_normal(bk[3], (h, d), 0.02, dtype),
-                "fc2_b": jnp.zeros((d,), dtype),
+                "fc2_b": np.zeros((d,), dtype),
             } if spec.swiglu else {
                 "fc1_w": _trunc_normal(bk[2], (d, h), 0.02, dtype),
-                "fc1_b": jnp.zeros((h,), dtype),
+                "fc1_b": np.zeros((h,), dtype),
                 "fc2_w": _trunc_normal(bk[3], (h, d), 0.02, dtype),
-                "fc2_b": jnp.zeros((d,), dtype),
+                "fc2_b": np.zeros((d,), dtype),
             }),
         }
         if spec.layer_scale:
-            blk["ls1"] = 1e-5 * jnp.ones((d,), dtype)
-            blk["ls2"] = 1e-5 * jnp.ones((d,), dtype)
+            blk["ls1"] = 1e-5 * np.ones((d,), dtype)
+            blk["ls2"] = 1e-5 * np.ones((d,), dtype)
         params["blocks"].append(blk)
     return params
 
@@ -289,7 +295,11 @@ def stack_vit_blocks(params: dict) -> dict:
     blocks = params["blocks"]
     if isinstance(blocks, dict):
         return params
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    # numpy leaves stack on the host (vit_init's single-device_put
+    # contract); device leaves stack on device (converted checkpoints)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: (np.stack(xs) if isinstance(xs[0], np.ndarray)
+                     else jnp.stack(xs)), *blocks)
     return {**params, "blocks": stacked}
 
 

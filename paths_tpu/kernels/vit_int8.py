@@ -64,13 +64,17 @@ def _quant_rows(y):
     return q, s
 
 
-def quantize_weight(w: jnp.ndarray) -> dict:
+def quantize_weight(w) -> dict:
     """Per-output-channel symmetric int8 for a (..., in, out) matrix
-    (leading axes, e.g. the stacked depth axis, pass through)."""
-    w32 = jnp.asarray(w, jnp.float32)
-    s = jnp.max(jnp.abs(w32), axis=-2, keepdims=True) * (1.0 / 127.0)
-    s = jnp.where(s > 0, s, 1.0)
-    q = jnp.clip(jnp.round(w32 / s), -127.0, 127.0).astype(jnp.int8)
+    (leading axes, e.g. the stacked depth axis, pass through). Numpy
+    inputs quantize host-side in numpy — on a remote-tunneled device,
+    jnp ops here would cost one round trip per tensor on the (host-built)
+    random-init path; converted device weights keep the jnp path."""
+    xp = np if isinstance(w, np.ndarray) else jnp
+    w32 = xp.asarray(w, xp.float32)
+    s = xp.max(xp.abs(w32), axis=-2, keepdims=True) * (1.0 / 127.0)
+    s = xp.where(s > 0, s, 1.0)
+    q = xp.clip(xp.round(w32 / s), -127.0, 127.0).astype(xp.int8)
     return {"q": q, "s": s[..., 0, :]}
 
 
