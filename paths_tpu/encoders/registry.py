@@ -106,14 +106,7 @@ def from_name(name: str, weights_path: Optional[str] = None,
         if weights_path:
             params = vit_from_torch_file(weights_path, spec)
         else:
-            # random-init at the compute dtype: encode results are
-            # identical (weights are cast to compute_dtype at use
-            # anyway) and the one-shot device_put halves on bf16 — the
-            # 2.5 GB f32 ViT-H put of incompressible random weights was
-            # ~half of every Virchow2 bench section on this ~30 MB/s
-            # tunnel. Converted checkpoints stay f32 (fidelity).
-            params = vit_init(jax.random.PRNGKey(seed), spec,
-                              dtype=compute_dtype)
+            params = vit_init(jax.random.PRNGKey(seed), spec)
         # scan-over-stacked-blocks layout: ~depth-times smaller programs
         params = stack_vit_blocks(params)
         impl = _resolve_block_impl(block_impl)
