@@ -21,7 +21,7 @@ paper-grade speedup.
 Emission contract: the LAST stdout line is always one parseable JSON
 record {"metric", "value", "unit", "vs_baseline", ...}. The record is
 re-printed (flushed) after every completed section and a wall-clock
-budget (`PATHS_TPU_BENCH_BUDGET_S`, default 1800s) skips sections that
+budget (`PATHS_TPU_BENCH_BUDGET_S`, default 2100s) skips sections that
 would overrun — so a driver timeout at any point still leaves a full
 partial record, with skipped sections listed in "truncated" and raising
 sections in "failed" (round 4's record was lost to exactly this).
@@ -856,7 +856,7 @@ def main():
     # wall-clock budget: sections whose estimated cost would overrun it
     # are skipped (round 4's official record was a driver TIMEOUT with no
     # JSON at all — never again)
-    budget = float(os.environ.get("PATHS_TPU_BENCH_BUDGET_S", "1800"))
+    budget = float(os.environ.get("PATHS_TPU_BENCH_BUDGET_S", "2100"))
     t_start = time.monotonic()
     tmp = os.environ.get("PATHS_TPU_BENCH_DIR", "/tmp/paths_tpu_bench")
     os.makedirs(tmp, exist_ok=True)

@@ -100,8 +100,16 @@ def vit_init(key, spec: ViTSpec, dtype=jnp.float32) -> dict:
     rng = np.random.default_rng(seed)
 
     def _trunc_normal(_key_unused, shape, std=0.02, dtype=dtype):
-        return np.clip(rng.normal(0.0, std, shape),
+        vals = np.clip(rng.normal(0.0, std, shape),
                        -2 * std, 2 * std).astype(dtype)
+        if np.dtype(dtype) == np.float32:
+            # snap to the bf16 grid, stored f32: bf16 compute (the
+            # production dtype) sees bit-identical weights, while the 16
+            # zeroed mantissa bits let the tunnel's payload compression
+            # roughly halve the one-shot device_put of these otherwise
+            # incompressible random weights (2.5 GB for ViT-H)
+            vals = vals.astype(jnp.bfloat16).astype(np.float32)
+        return vals
 
     d = spec.embed_dim
     keys = [None] * (6 + spec.depth)
