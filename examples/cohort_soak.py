@@ -42,7 +42,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-RECORD_DIR = os.path.join(REPO, "examples", "records", "cohort_soak")
+def record_dir(task: str) -> str:
+    name = ("cohort_soak" if task == "survival" else "cohort_soak_subtype")
+    return os.path.join(REPO, "examples", "records", name)
 
 
 class RssSampler:
@@ -79,6 +81,11 @@ class RssSampler:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/paths_tpu_cohort_soak")
+    ap.add_argument("--task", choices=["survival", "subtype"],
+                    default="survival",
+                    help="subtype: IDC-vs-ILC labels from the same latent "
+                         "signal (reports AUC; mirrors the dress "
+                         "rehearsal's classification twin at cohort scale)")
     ap.add_argument("--slides", type=int, default=300)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
@@ -110,6 +117,10 @@ def main():
     cfg.eval_epochs = 2              # flagship_dress_rehearsal.py notes)
     cfg.engine = "streaming"
     cfg.cache_eval_batches = True
+    subtype = args.task == "subtype"
+    if subtype:
+        cfg.task = "subtype_classification"
+        cfg.filter_to_subtypes = ["IDC", "ILC"]
 
     t0 = time.time()
     if not args.keep_store or not os.path.isdir(cfg.preprocess_dir):
@@ -119,6 +130,7 @@ def main():
             cfg.preprocess_dir, cfg, num_slides=args.slides, seed=args.seed,
             base_hw=(4, 5), size_jitter=6, store_dtype=np.float16)
         make_signal_metadata(cfg.csv_path, ids, z, seed=args.seed,
+                             subtypes=["IDC", "ILC"] if subtype else None,
                              label_noise=0.25)
     store_gb = sum(
         os.path.getsize(os.path.join(cfg.preprocess_dir, f))
@@ -158,6 +170,7 @@ def main():
         slope = float(np.polyfit(xs, ys, 1)[0])
 
     last = str(max(int(k) for k in stats["train_loss"]))
+    metric = "AUC" if subtype else "c-index"
     summary = {
         "task": cfg.task,
         "engine": "streaming",
@@ -176,12 +189,13 @@ def main():
         "rss_slope_mb_per_epoch": round(slope, 1) if slope is not None
         else None,
         "final_train_loss": stats["train_loss"][last],
-        "final_train_c-index": stats["train_c-index"][last],
-        "val_c-index_history": stats.get("val_c-index"),
+        f"final_train_{metric}": stats[f"train_{metric}"][last],
+        f"val_{metric}_history": stats.get(f"val_{metric}"),
         "test_metrics": test_metrics,
         "backend": __import__("jax").default_backend(),
         "command": (f"python examples/cohort_soak.py --record "
-                    f"--slides {args.slides} --epochs {args.epochs}"),
+                    f"--slides {args.slides} --epochs {args.epochs}"
+                    + (" --task subtype" if subtype else "")),
         "note": ("Streaming keeps the f16 store memory-mapped; RSS slope "
                  "is the device client's put-leak at ~30 MB/step — the "
                  "naive fused path leaked ~3.2 GB/step (r3, OOM-killed). "
@@ -192,15 +206,16 @@ def main():
     print(json.dumps(summary, indent=2))
 
     if args.record:
-        os.makedirs(RECORD_DIR, exist_ok=True)
+        rdir = record_dir(args.task)
+        os.makedirs(rdir, exist_ok=True)
         shutil.copy(os.path.join(mdir, "config.json"),
-                    os.path.join(RECORD_DIR, "config.json"))
+                    os.path.join(rdir, "config.json"))
         shutil.copy(os.path.join(mdir, "metrics.jsonl"),
-                    os.path.join(RECORD_DIR, "metrics.jsonl"))
-        with open(os.path.join(RECORD_DIR, "summary.json"), "w") as f:
+                    os.path.join(rdir, "metrics.jsonl"))
+        with open(os.path.join(rdir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
             f.write("\n")
-        print(f"record written to {RECORD_DIR}")
+        print(f"record written to {rdir}")
     return summary
 
 

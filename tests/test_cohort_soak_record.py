@@ -60,3 +60,22 @@ def test_soak_learns_at_cohort_scale(record):
     # rehearsals' >= 0.80 test bar, relaxed slightly: 45-slide test split)
     assert record["test_metrics"]["test_c-index"] >= 0.75
     assert record["final_train_loss"] < 1.0
+
+
+SUBTYPE_RECORD = os.path.join(os.path.dirname(RECORD),
+                              "..", "cohort_soak_subtype", "summary.json")
+
+
+def test_subtype_soak_record():
+    """The classification twin at cohort scale (when recorded): same
+    bounded-RAM bars, held-out AUC above the signal bar."""
+    if not os.path.isfile(SUBTYPE_RECORD):
+        pytest.skip("subtype cohort soak record not generated")
+    with open(SUBTYPE_RECORD) as f:
+        s = json.load(f)
+    assert s["task"] == "subtype_classification"
+    assert s["engine"] == "streaming"
+    assert s["slides"] >= 300 and s["epochs"] >= 10
+    assert 0 <= s["rss_slope_mb_per_epoch"] < 1500
+    assert s["rss_mb_peak"] < 48_000
+    assert s["test_metrics"]["test_AUC"] >= 0.75
